@@ -1,0 +1,10 @@
+"""PyTorch / HuggingFace interop: import pretrained checkpoints into
+msvit_tpu param pytrees (the TPU-native equivalent of the reference's
+`from_pretrained` + partial `load_state_dict` bootstrap,
+reference `modeling_msvitencoder.py:681-690`, `modeling_ssvit.py:235-249`).
+"""
+
+from msvit_tpu.compat.hf_import import (  # noqa: F401
+    import_vit_params,
+    load_torch_state_dict,
+)

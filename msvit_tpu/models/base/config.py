@@ -1,0 +1,69 @@
+"""Config for the base ViT trunk.
+
+Mirrors the fields of the reference's `BaseViTConfig`
+(`model/base_encoder/configuration_base.py:30-222`) as a frozen, hashable
+dataclass (no HF PretrainedConfig kwarg zoo, no mutable state).  Extra
+TPU-specific fields: mixed-precision `policy`, `attn_implementation`
+("xla" | "flash" | "auto"), and `remat` for jax.checkpoint over blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from msvit_tpu.settings import Policy
+
+
+@dataclasses.dataclass(frozen=True)
+class BaseViTConfig:
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    mlp_ratio: float = 4.0
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.0
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-6
+    image_size: int = 224
+    patch_size: int = 16
+    num_channels: int = 3
+    qkv_bias: bool = True
+    layerscale_value: float = 1.0
+    drop_path_rate: float = 0.0
+    use_swiglu_ffn: bool = False
+
+    # Pointer to a pretrained torch/HF checkpoint to import weights from
+    # (reference `configuration_base.py` `pretrained`/`pretrained_cls`);
+    # consumed by msvit_tpu.compat.hf_import, never downloaded implicitly.
+    pretrained: Optional[str] = None
+
+    # --- TPU-specific ---
+    attn_implementation: str = "auto"
+    policy: Policy = Policy()
+    remat: bool = False  # jax.checkpoint each block (memory ↔ FLOPs)
+
+    @property
+    def head_dim(self) -> int:
+        if self.hidden_size % self.num_attention_heads:
+            raise ValueError(
+                f"hidden_size {self.hidden_size} not divisible by "
+                f"num_attention_heads {self.num_attention_heads}"
+            )
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def mlp_hidden_size(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+    @property
+    def swiglu_hidden_size(self) -> int:
+        # 2/3 ratio rounded up to a multiple of 8
+        # (reference `modeling_base.py:276-277`)
+        h = int(self.mlp_hidden_size * 2 / 3)
+        return (h + 7) // 8 * 8
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2

@@ -1,0 +1,296 @@
+"""Base ViT trunk (flax.linen).
+
+Behavioral counterpart of the reference's `model/base_encoder/modeling_base.py`:
+
+* pre-LN blocks: ``x += droppath(ls1·attn(LN1(x)))``;
+  ``x += droppath(ls2·mlp(LN2(x)))``  (reference `modeling_base.py:314-345`);
+* cross-context attention: optional per-layer ``context_states`` are
+  concatenated onto K/V only — queries always come from the hidden tokens
+  (reference `modeling_base.py:77-82`);
+* masks: bool (True = attend) or additive float, applied to the scores
+  (reference `modeling_base.py:89-93`);
+* DINOv2 layer scale (`modeling_base.py:222-228`), stochastic depth
+  (`modeling_base.py:232-250`), GELU MLP / SwiGLU FFN
+  (`modeling_base.py:253-286`).
+
+TPU-first choices:
+
+* fused QKV projection: one ``[D, 3, H, Dh]`` parameter → one MXU matmul
+  instead of three; the context branch reuses its K/V slice.
+* attention dispatches through ``msvit_tpu.ops.attention`` (Pallas flash
+  kernel when probabilities aren't requested).
+* LayerNorms run in float32; matmuls in the policy compute dtype (bf16).
+* optional `jax.checkpoint` rematerialization per block (config.remat).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from msvit_tpu.models.base.config import BaseViTConfig
+from msvit_tpu.ops.attention import multi_head_attention
+
+
+def trunc_normal_init(std: float):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class BaseViTSelfAttention(nn.Module):
+    """MHSA with cross-context K/V and bool/additive masks."""
+
+    config: BaseViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        context_states: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        output_attentions: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        cfg = self.config
+        d, h, dh = cfg.hidden_size, cfg.num_attention_heads, cfg.head_dim
+        compute = cfg.policy.compute
+
+        w_qkv = self.param(
+            "qkv_kernel", trunc_normal_init(cfg.initializer_range), (d, 3, h, dh)
+        )
+        b_qkv = (
+            self.param("qkv_bias", nn.initializers.zeros, (3, h, dh))
+            if cfg.qkv_bias
+            else None
+        )
+
+        x = hidden_states.astype(compute)
+        qkv = jnp.einsum("...nd,dthe->t...hne", x, w_qkv.astype(compute))
+        if b_qkv is not None:
+            qkv = qkv + b_qkv.astype(compute).reshape(
+                (3,) + (1,) * (x.ndim - 2) + (h, 1, dh)
+            )
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        if context_states is not None:
+            # K/V see [hidden ++ context]; queries do not
+            # (reference `modeling_base.py:77-82`).
+            c = context_states.astype(compute)
+            ckv = jnp.einsum("...nd,dthe->t...hne", c, w_qkv[:, 1:].astype(compute))
+            if b_qkv is not None:
+                ckv = ckv + b_qkv[1:].astype(compute).reshape(
+                    (2,) + (1,) * (c.ndim - 2) + (h, 1, dh)
+                )
+            k = jnp.concatenate([k, ckv[0]], axis=-2)
+            v = jnp.concatenate([v, ckv[1]], axis=-2)
+
+        out, probs = multi_head_attention(
+            q,
+            k,
+            v,
+            mask=attention_mask,
+            implementation=cfg.attn_implementation,
+            output_probs=output_attentions,
+        )
+        if cfg.attention_probs_dropout_prob > 0.0 and not deterministic:
+            # note: reference drops probs *before* the V matmul
+            # (`modeling_base.py:96-102`); with fused kernels we instead
+            # drop on the output, the standard fused-attention tradeoff.
+            out = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                out, deterministic=deterministic
+            )
+
+        # [..., H, N, Dh] -> [..., N, H*Dh]
+        out = jnp.swapaxes(out, -3, -2).reshape(hidden_states.shape[:-1] + (h * dh,))
+
+        out = nn.Dense(
+            d,
+            kernel_init=trunc_normal_init(cfg.initializer_range),
+            dtype=compute,
+            param_dtype=cfg.policy.param,
+            name="output_dense",
+        )(out)
+        if cfg.hidden_dropout_prob > 0.0:
+            out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        return out, probs
+
+
+class BaseMLP(nn.Module):
+    """GELU MLP, hidden = hidden_size * mlp_ratio
+    (reference `modeling_base.py:253-269`)."""
+
+    config: BaseViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        compute = cfg.policy.compute
+        x = nn.Dense(
+            cfg.mlp_hidden_size,
+            kernel_init=trunc_normal_init(cfg.initializer_range),
+            dtype=compute,
+            param_dtype=cfg.policy.param,
+            name="fc1",
+        )(x.astype(compute))
+        if cfg.hidden_act == "gelu":
+            x = jax.nn.gelu(x, approximate=False)
+        else:
+            x = getattr(jax.nn, cfg.hidden_act)(x)
+        x = nn.Dense(
+            cfg.hidden_size,
+            kernel_init=trunc_normal_init(cfg.initializer_range),
+            dtype=compute,
+            param_dtype=cfg.policy.param,
+            name="fc2",
+        )(x)
+        return x
+
+
+class BaseSwiGLUFFN(nn.Module):
+    """SwiGLU FFN (reference `modeling_base.py:272-286`)."""
+
+    config: BaseViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        compute = cfg.policy.compute
+        hidden = cfg.swiglu_hidden_size
+        x = nn.Dense(
+            2 * hidden,
+            kernel_init=trunc_normal_init(cfg.initializer_range),
+            dtype=compute,
+            param_dtype=cfg.policy.param,
+            name="weights_in",
+        )(x.astype(compute))
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x = jax.nn.silu(x1) * x2
+        return nn.Dense(
+            cfg.hidden_size,
+            kernel_init=trunc_normal_init(cfg.initializer_range),
+            dtype=compute,
+            param_dtype=cfg.policy.param,
+            name="weights_out",
+        )(x)
+
+
+def _drop_path(
+    x: jnp.ndarray, rate: float, deterministic: bool, rng
+) -> jnp.ndarray:
+    """Per-sample stochastic depth (reference `modeling_base.py:232-247`)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, dtype=jnp.float32))
+    return (x / keep) * mask.astype(x.dtype)
+
+
+class BaseViTLayer(nn.Module):
+    """Pre-LN transformer block (reference `modeling_base.py:295-345`)."""
+
+    config: BaseViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        context_states: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        output_attentions: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        cfg = self.config
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=cfg.layer_norm_eps,
+            dtype=jnp.float32,
+            param_dtype=cfg.policy.param,
+            name=name,
+        )
+        ls1 = self.param(
+            "layer_scale1",
+            nn.initializers.constant(cfg.layerscale_value),
+            (cfg.hidden_size,),
+        )
+        ls2 = self.param(
+            "layer_scale2",
+            nn.initializers.constant(cfg.layerscale_value),
+            (cfg.hidden_size,),
+        )
+
+        attn_out, probs = BaseViTSelfAttention(cfg, name="attention")(
+            ln("norm1")(hidden_states),
+            context_states=context_states,
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+            output_attentions=output_attentions,
+        )
+        attn_out = attn_out * ls1.astype(attn_out.dtype)
+        if cfg.drop_path_rate > 0.0 and not deterministic:
+            attn_out = _drop_path(
+                attn_out, cfg.drop_path_rate, deterministic, self.make_rng("droppath")
+            )
+        hidden_states = attn_out + hidden_states
+
+        mlp_cls = BaseSwiGLUFFN if cfg.use_swiglu_ffn else BaseMLP
+        mlp_out = mlp_cls(cfg, name="mlp")(
+            ln("norm2")(hidden_states), deterministic=deterministic
+        )
+        mlp_out = mlp_out * ls2.astype(mlp_out.dtype)
+        if cfg.drop_path_rate > 0.0 and not deterministic:
+            mlp_out = _drop_path(
+                mlp_out, cfg.drop_path_rate, deterministic, self.make_rng("droppath")
+            )
+        hidden_states = mlp_out + hidden_states
+
+        return hidden_states, probs
+
+
+class BaseViTEncoder(nn.Module):
+    """Stack of blocks, with optional **per-layer** context states
+    (reference `modeling_base.py:348-397`; per-layer indexing at `:371`).
+
+    The layer loop is a Python loop (static depth) so callers like the
+    multistate backbone can interleave re-clustering between layers; with
+    ``config.remat`` each block is rematerialized under jax.checkpoint.
+    """
+
+    config: BaseViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        context_states: Optional[Sequence[Optional[jnp.ndarray]]] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        output_attentions: bool = False,
+        output_hidden_states: bool = False,
+    ):
+        cfg = self.config
+        all_hidden = [] if output_hidden_states else None
+        all_attn = [] if output_attentions else None
+
+        layer_cls = BaseViTLayer
+        if cfg.remat:
+            layer_cls = nn.remat(BaseViTLayer, static_argnums=(4, 5))
+
+        for i in range(cfg.num_hidden_layers):
+            if output_hidden_states:
+                all_hidden.append(hidden_states)
+            ctx = context_states[i] if context_states is not None else None
+            hidden_states, probs = layer_cls(cfg, name=f"layer_{i}")(
+                hidden_states,
+                ctx,
+                attention_mask,
+                deterministic,
+                output_attentions,
+            )
+            if output_attentions:
+                all_attn.append(probs)
+
+        if output_hidden_states:
+            all_hidden.append(hidden_states)
+        return hidden_states, all_hidden, all_attn

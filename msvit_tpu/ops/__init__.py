@@ -1,0 +1,16 @@
+"""TPU compute kernels for the hot ops.
+
+* attention   — masked multi-head attention: XLA reference path + fused
+                Pallas flash kernel (replaces torch SDPA,
+                reference `modeling_base.py:144-152`).
+* grid_sample — batched affine-glimpse bicubic/bilinear sampler
+                (replaces `F.grid_sample`, reference
+                `modeling_spvitencoder.py:286-289` et al.).
+* ncut        — batched Nyström normalized-cuts embedding
+                (replaces `ncut_pytorch.NCUT`).
+* kmeans      — fixed-iteration segment-sum KMeans (replaces cuML KMeans).
+* fps         — farthest point sampling (replaces the reference's missing
+                `utils.fps` / torch_fpsample).
+"""
+
+from msvit_tpu.ops.attention import multi_head_attention  # noqa: F401

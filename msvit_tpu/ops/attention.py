@@ -1,0 +1,137 @@
+"""Masked multi-head attention for TPU.
+
+This is the TPU-native replacement for the reference's two attention paths
+(`model/base_encoder/modeling_base.py:47-155`): an eager scores/softmax
+implementation and a torch-SDPA fused call.  Semantics preserved:
+
+* boolean masks mean "True = may attend" and are applied by masking scores
+  to −inf before softmax (reference `modeling_base.py:89-93`);
+* float masks are additive biases (same line range);
+* cross-context keys/values are handled by the *caller* concatenating
+  context tokens onto K/V (reference `modeling_base.py:77-82`) — the kernel
+  itself just takes (possibly longer) K/V.
+
+Two implementations:
+
+* ``"xla"``   — plain jnp einsum + softmax.  XLA already fuses the mask and
+                softmax into the matmul epilogue; at the reference's
+                sequence lengths (≤ ~1.6k tokens) this is near
+                speed-of-light and materializing [B,H,N,M] probs is cheap.
+                Required whenever attention probabilities are an output
+                (the multistate encoder consumes attention sub-blocks,
+                reference `modeling_msvitencoder.py:528-543`).
+* ``"flash"`` — fused Pallas online-softmax kernel (never materializes the
+                scores matrix in HBM); preferred for long sequences /
+                training memory.  See `msvit_tpu/ops/flash_attention.py`.
+
+``"auto"`` picks flash when shapes are kernel-eligible and probs are not
+requested, else xla.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Large-but-finite mask value: avoids NaNs from exp(-inf - (-inf)) in fully
+# masked rows while being -inf for softmax purposes in f32.
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _apply_mask(
+    scores: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    mask_value: float,
+) -> jnp.ndarray:
+    if mask is None:
+        return scores
+    if mask.dtype == jnp.bool_:
+        return jnp.where(mask, scores, mask_value)
+    # additive float mask (reference `modeling_base.py:93`)
+    return scores + mask.astype(scores.dtype)
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    mask_value: float = DEFAULT_MASK_VALUE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-semantics attention.
+
+    Args:
+      q: [..., H, Nq, Dh]
+      k, v: [..., H, Nk, Dh]
+      mask: broadcastable to [..., H, Nq, Nk]; bool (True = attend) or
+        additive float.
+      scale: defaults to 1/sqrt(Dh).
+
+    Returns:
+      (out [..., H, Nq, Dh], probs [..., H, Nq, Nk]).  Softmax statistics
+      are computed in float32 regardless of input dtype.
+    """
+    dh = q.shape[-1]
+    scale = (1.0 / dh**0.5) if scale is None else scale
+    scores = jnp.einsum(
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    scores = _apply_mask(scores, mask, mask_value)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "...qk,...kd->...qd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype), probs
+
+
+def _flash_eligible(q, k, mask) -> bool:
+    # Pallas kernel constraints: 4D [B,H,N,D] inputs, bool (or no) mask,
+    # and a TPU backend (the Mosaic kernel has no CPU lowering).
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    if q.ndim != 4 or k.ndim != 4:
+        return False
+    if mask is not None and mask.dtype != jnp.bool_:
+        return False
+    return True
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    implementation: str = "auto",
+    output_probs: bool = False,
+    mask_value: float = DEFAULT_MASK_VALUE,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Dispatching attention front end used by all encoder families."""
+    if implementation == "auto":
+        implementation = (
+            "flash"
+            if (not output_probs and _flash_eligible(q, k, mask))
+            else "xla"
+        )
+    if implementation == "flash" and not output_probs and _flash_eligible(q, k, mask):
+        try:
+            from msvit_tpu.ops.flash_attention import flash_attention
+        except ImportError:
+            flash_attention = None
+        if flash_attention is not None:
+            out = flash_attention(
+                q, k, v, mask=mask, scale=scale, mask_value=mask_value
+            )
+            return out, None
+    out, probs = xla_attention(q, k, v, mask=mask, scale=scale, mask_value=mask_value)
+    return out, (probs if output_probs else None)
