@@ -161,3 +161,34 @@ class ViTModel(nn.Module):
             "hidden_states": all_hidden,
             "attentions": all_attn,
         }
+
+
+class ViTForImageClassification(nn.Module):
+    """ViT + linear classification head on the CLS token (the standard HF
+    head; the subsample family has its own richer head, see
+    `msvit_tpu.models.subsample`)."""
+
+    config: BaseViTConfig
+    num_labels: int = 1000
+
+    @nn.compact
+    def __call__(
+        self,
+        pixel_values: jnp.ndarray,
+        deterministic: bool = True,
+        interpolate_pos_encoding: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        out = ViTModel(cfg, name="vit")(
+            pixel_values,
+            deterministic=deterministic,
+            interpolate_pos_encoding=interpolate_pos_encoding,
+        )
+        logits = nn.Dense(
+            self.num_labels,
+            kernel_init=trunc_normal_init(cfg.initializer_range),
+            dtype=cfg.policy.compute,
+            param_dtype=cfg.policy.param,
+            name="classifier",
+        )(out["last_hidden_state"][:, 0])
+        return logits.astype(jnp.float32)

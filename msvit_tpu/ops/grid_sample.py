@@ -1,0 +1,127 @@
+"""Batched arbitrary-grid image sampling (the glimpse sampler).
+
+TPU-native replacement for `torch.nn.functional.grid_sample` as used by
+the reference's glimpse tokenizers — the single most reference-specific
+kernel (SURVEY §2.9):
+
+* predictive encoder: bicubic + border padding, vmapped over glimpses
+  (`modeling_spvitencoder.py:286-289`);
+* subsample encoder: bicubic + zeros padding over quadtree boxes
+  (`modeling_ssvit.py:148-151`) and position-table lookups
+  (`modeling_ssvit.py:125-128`);
+* saccadic encoder: bicubic + zeros, single glimpse
+  (`modeling_scvitencoder.py:177-180`).
+
+Conventions match torch `align_corners=False`: a normalized coordinate
+``u ∈ [-1, 1]`` maps to pixel index ``((u + 1)·size − 1) / 2``; grid last
+axis is (x, y) = (width, height).  Cubic convolution uses a = −0.75
+(torch/OpenCV standard).  Layout is NHWC (TPU-native), sample-point shape
+is arbitrary: image [B, H, W, C] + grid [B, *S, 2] → out [B, *S, C].
+
+Implementation: pure XLA — one fused gather of the 16 (bicubic) / 4
+(bilinear) taps plus separable polynomial weights.  This is fully
+differentiable w.r.t. both image (gather transposes to scatter-add) and
+grid (through the weight polynomials), exactly the gradients the
+reference's losses need (`modeling_training.py:130-146` backprops into
+sampled positions).  XLA lowers the gather to efficient dynamic-slices;
+a Pallas variant is only worth it if profiling shows this op dominating.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_CUBIC_A = -0.75
+
+
+def _cubic_weights(t: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Cubic-convolution weights for taps at offsets (-1, 0, 1, 2) given
+    fractional position t ∈ [0, 1)."""
+    a = _CUBIC_A
+    # distances to taps: d-1 = 1+t, d0 = t, d1 = 1-t, d2 = 2-t
+    d_m1 = t + 1.0
+    d_p2 = 2.0 - t
+
+    def near(d):  # |d| <= 1
+        return (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0
+
+    def far(d):  # 1 < |d| < 2
+        return a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a
+
+    return far(d_m1), near(t), near(1.0 - t), far(d_p2)
+
+
+def _linear_weights(t: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    return (1.0 - t, t)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "padding_mode"))
+def grid_sample(
+    image: jnp.ndarray,
+    grid: jnp.ndarray,
+    mode: str = "bicubic",
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Sample `image` [B, H, W, C] at normalized points `grid` [B, *S, 2]
+    ((x, y) in [-1, 1], torch align_corners=False convention).
+
+    Returns [B, *S, C].  mode ∈ {bicubic, bilinear, nearest};
+    padding_mode ∈ {border, zeros}.
+    """
+    if image.ndim != 4:
+        raise ValueError(f"image must be [B,H,W,C], got {image.shape}")
+    b, h, w, c = image.shape
+    sample_shape = grid.shape[1:-1]
+    pts = grid.reshape(b, -1, 2)
+    n = pts.shape[1]
+
+    # normalized -> pixel coordinates (align_corners=False)
+    fx = ((pts[..., 0].astype(jnp.float32) + 1.0) * w - 1.0) / 2.0  # [B,N]
+    fy = ((pts[..., 1].astype(jnp.float32) + 1.0) * h - 1.0) / 2.0
+
+    if mode == "nearest":
+        ix = jnp.round(fx).astype(jnp.int32)
+        iy = jnp.round(fy).astype(jnp.int32)
+        taps_x, taps_y = [ix], [iy]
+        wx, wy = [jnp.ones_like(fx)], [jnp.ones_like(fy)]
+    else:
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        tx = fx - x0
+        ty = fy - y0
+        if mode == "bicubic":
+            offs = (-1, 0, 1, 2)
+            wx = _cubic_weights(tx)
+            wy = _cubic_weights(ty)
+        elif mode == "bilinear":
+            offs = (0, 1)
+            wx = _linear_weights(tx)
+            wy = _linear_weights(ty)
+        else:
+            raise ValueError(mode)
+        taps_x = [x0.astype(jnp.int32) + o for o in offs]
+        taps_y = [y0.astype(jnp.int32) + o for o in offs]
+
+    flat = image.reshape(b, h * w, c)
+
+    out = jnp.zeros((b, n, c), jnp.float32)
+    for j, (ixj, wxj) in enumerate(zip(taps_x, wx)):
+        in_x = (ixj >= 0) & (ixj < w)
+        cx = jnp.clip(ixj, 0, w - 1)
+        for i, (iyi, wyi) in enumerate(zip(taps_y, wy)):
+            in_y = (iyi >= 0) & (iyi < h)
+            cy = jnp.clip(iyi, 0, h - 1)
+            idx = cy * w + cx  # [B,N]
+            vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B,N,C]
+            weight = wxj * wyi  # [B,N]
+            if padding_mode == "zeros":
+                weight = jnp.where(in_x & in_y, weight, 0.0)
+            elif padding_mode != "border":
+                raise ValueError(padding_mode)
+            out = out + vals.astype(jnp.float32) * weight[..., None]
+
+    return out.reshape((b,) + sample_shape + (c,)).astype(image.dtype)
