@@ -1,0 +1,110 @@
+"""Nyström normalized-cuts spectral embedding.
+
+TPU-native replacement for `ncut_pytorch.NCUT` as consumed by the
+reference's clustering module (`model/clustering/modeling_spectral.py:54-69,
+86-90`; `modeling.py:7`): subsample → affinity (cosine / rbf, with an
+affinity focal gamma) → symmetric-normalized affinity → `eigh` →
+Nyström propagation to all points.
+
+Everything is static-shape and jittable: the sample count is a compile
+time constant, membership restriction (the per-parent-cluster NCut of
+`modeling_spectral.py:85-90`) is expressed with a boolean mask — samples
+are drawn from members and non-members receive zero affinity.
+
+Eigenvalues are those of the normalized affinity, sorted descending in
+[0, 1] — the quantity the reference thresholds to pick the number of
+child clusters (`modeling_spectral.py:87`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_affinity(
+    a: jnp.ndarray,  # [m, d]
+    b: jnp.ndarray,  # [n, d]
+    distance: str,
+    gamma: float,
+) -> jnp.ndarray:
+    """A = exp(−d / γ) with d ∈ [0, ~1]: cosine distance, or squared
+    euclidean scaled to a comparable range."""
+    if distance == "cosine":
+        an = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-8)
+        bn = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-8)
+        d = 1.0 - an @ bn.T
+    elif distance == "rbf":
+        sq = (
+            jnp.sum(a**2, -1)[:, None]
+            + jnp.sum(b**2, -1)[None, :]
+            - 2.0 * (a @ b.T)
+        )
+        sq = jnp.maximum(sq, 0.0)
+        # scale by the mean squared distance so gamma is unitless
+        d = sq / (jnp.mean(sq) + 1e-8)
+    else:
+        raise ValueError(distance)
+    return jnp.exp(-d / gamma)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_eig", "num_sample", "distance", "gamma")
+)
+def ncut(
+    x: jnp.ndarray,  # [n, d]
+    num_eig: int,
+    key: jax.Array,
+    num_sample: int = 1024,
+    distance: str = "rbf",
+    gamma: float = 3.0,
+    mask: Optional[jnp.ndarray] = None,  # [n] bool — restrict to members
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (eigvecs [n, num_eig] — rows for non-members are arbitrary,
+    eigvals [num_eig] descending)."""
+    n = x.shape[0]
+    x = x.astype(jnp.float32)
+    m = min(num_sample, n)
+
+    if mask is None:
+        member_w = jnp.ones((n,))
+    else:
+        member_w = mask.astype(jnp.float32)
+
+    # sample member indices (Gumbel top-k ≈ weighted sampling w/o replacement;
+    # if fewer members than samples, duplicates enter via the fallback weight)
+    g = -jnp.log(-jnp.log(jax.random.uniform(key, (n,), minval=1e-9, maxval=1.0)))
+    scores = jnp.where(member_w > 0, g, -jnp.inf)
+    sample_idx = jax.lax.top_k(scores, m)[1]  # [m]
+    xs = x[sample_idx]
+    sample_valid = member_w[sample_idx] > 0  # guards the all-masked corner
+
+    a_ss = _pairwise_affinity(xs, xs, distance, gamma)  # [m, m]
+    vmask = sample_valid[:, None] & sample_valid[None, :]
+    a_ss = jnp.where(vmask, a_ss, 0.0)
+
+    d_s = jnp.sum(a_ss, axis=-1)  # [m]
+    d_inv_sqrt = jnp.where(d_s > 0, jax.lax.rsqrt(d_s + 1e-8), 0.0)
+    m_norm = a_ss * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
+
+    eigvals, eigvecs = jnp.linalg.eigh(m_norm)  # ascending
+    eigvals = eigvals[::-1][:num_eig]  # [num_eig] descending
+    v = eigvecs[:, ::-1][:, :num_eig]  # [m, num_eig]
+
+    # Nyström extension to all points:
+    # f = D_n^{-1/2} A_nm D_s^{-1/2} V Λ^{-1}
+    a_nm = _pairwise_affinity(x, xs, distance, gamma)  # [n, m]
+    a_nm = jnp.where(
+        (member_w[:, None] > 0) & sample_valid[None, :], a_nm, 0.0
+    )
+    d_n = jnp.sum(a_nm, axis=-1)
+    dn_inv_sqrt = jnp.where(d_n > 0, jax.lax.rsqrt(d_n + 1e-8), 0.0)
+    lam_inv = jnp.where(jnp.abs(eigvals) > 1e-6, 1.0 / eigvals, 0.0)
+    f = (a_nm * dn_inv_sqrt[:, None]) @ (v * (d_inv_sqrt[:, None] * lam_inv[None, :]))
+
+    # column-normalize for a stable embedding scale
+    f = f / (jnp.linalg.norm(f, axis=0, keepdims=True) + 1e-8)
+    return f, eigvals
