@@ -1,0 +1,251 @@
+"""Clustering variants (reference `model/clustering/`).
+
+* spectral — the production path (`modeling_spectral.py:50-94`): per
+  parent cluster, NCut-embed the member tokens, count children by
+  thresholding the eigenvalues, KMeans the top eigenvectors.  Under XLA
+  the per-parent loop is a static loop over `max_clusters` with member
+  masks, and the data-dependent child count becomes an active-center
+  mask in KMeans (SURVEY §7.6 "padded to static max_clusters").
+* fps — farthest-point-sampling variant (`modeling_fps.py:13-104`,
+  incomplete upstream: missing `utils.fps`, debug `raise` — implemented
+  here per its evident intent).
+* axis-align — gumbel-softmax one-hot over NCut axes
+  (`modeling_axisalign.py:16-37`, unfinished/unregistered upstream;
+  provided as an experimental variant).
+
+Divergences from the reference (documented per SURVEY §7):
+* cuML KMeans/HDBSCAN → our jittable KMeans; HDBSCAN debug paths are out
+  of scope (the production path never needs them).
+* the reference's `n_children == 0` branch assigns ids that collide with
+  the next parent's children (`modeling_spectral.py:91-94` doesn't
+  advance the counter); we clamp to ≥1 child (the evident intent).
+* Nyström sample count defaults lower (1024 vs 10000) — TPU eigh budget.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from msvit_tpu.ops.fps import farthest_point_sampling
+from msvit_tpu.ops.kmeans import kmeans
+from msvit_tpu.ops.linalg import pca_lowrank
+from msvit_tpu.ops.ncut import ncut
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusteringConfig:
+    model_type: str = ""
+    ncut_dim: int = 8
+    num_sample: int = 1024
+    # static upper bound on total clusters (the padded cluster axis)
+    max_clusters: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectralClusteringConfig(ClusteringConfig):
+    model_type: str = "spectral"
+    ncut_dist: str = "rbf"  # "rbf" | "cosine"
+    eigenvalue_threshold: float = 0.1
+    cluster_size_threshold: float = 0.0  # kept for config parity (unused)
+    affinity_focal_gamma: float = 3.0
+    kmeans_iters: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class FPSClusteringConfig(ClusteringConfig):
+    model_type: str = "fps"
+    fps_dim: int = 8
+    fps_sample1: int = 64
+    fps_sample2: int = 8
+    fps_supersample2: int = 32
+    cosine_similarity_threshold: float = 0.7
+    ncut_dist: str = "cosine"
+    affinity_focal_gamma: float = 3.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AxisAlignClusteringConfig(ClusteringConfig):
+    model_type: str = "axis"
+    temperature: float = 1.0
+    ncut_dist: str = "cosine"
+    affinity_focal_gamma: float = 3.0
+
+
+def spectral_cluster(
+    config: SpectralClusteringConfig,
+    parent_indices: jnp.ndarray,  # [B, N] int
+    x: jnp.ndarray,  # [B, N, D]
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference `SpectralClustering.forward` (`modeling_spectral.py:72-94`)
+    with static shapes.  Returns (child_indices [B,N], n_children [C_max])."""
+    b, n = parent_indices.shape
+    flat_x = x.reshape(b * n, -1).astype(jnp.float32)
+    flat_parent = parent_indices.reshape(b * n)
+    c_max = config.max_clusters
+
+    result = jnp.zeros((b * n,), jnp.int32)
+    n_children = jnp.zeros((c_max,), jnp.int32)
+    cum = jnp.zeros((), jnp.int32)
+
+    for p in range(c_max):
+        key, k_ncut, k_km = jax.random.split(key, 3)
+        member = flat_parent == p
+        has = jnp.any(member)
+
+        vecs, vals = ncut(
+            flat_x,
+            num_eig=config.ncut_dim,
+            key=k_ncut,
+            num_sample=config.num_sample,
+            distance=config.ncut_dist,
+            gamma=config.affinity_focal_gamma,
+            mask=member,
+        )
+        # children count = #(eigenvalues above threshold), clamped to ≥1
+        # and to the remaining slot budget (`modeling_spectral.py:87`)
+        k_p = jnp.sum(vals > config.eigenvalue_threshold).astype(jnp.int32)
+        k_p = jnp.clip(k_p, 1, jnp.maximum(c_max - cum, 1))
+
+        # KMeans on the top-k_p eigenvectors: zero inactive columns (the
+        # reference slices `ncut_x[:, :n_child]`), mask inactive centers
+        col_active = jnp.arange(config.ncut_dim) < k_p
+        sub = vecs * col_active[None, :]
+        labels, _ = kmeans(
+            sub,
+            k=config.ncut_dim,
+            key=k_km,
+            iters=config.kmeans_iters,
+            active=col_active,
+            mask=member,
+        )
+        result = jnp.where(member, cum + labels, result)
+        n_children = n_children.at[p].set(jnp.where(has, k_p, 0))
+        cum = cum + jnp.where(has, k_p, 0)
+
+    result = jnp.clip(result, 0, c_max - 1)
+    return result.reshape(b, n), n_children
+
+
+def _parent_majority(
+    child_indices: jnp.ndarray,  # [B, N]
+    parent_indices: jnp.ndarray,  # [B, N]
+    c_max: int,
+) -> jnp.ndarray:
+    """n_children-style table for variants that ignore parents: attribute
+    each child cluster to the parent owning most of its tokens, then count
+    children per parent (needed for TX/RX duplication)."""
+    child_oh = jax.nn.one_hot(child_indices.reshape(-1), c_max)  # [BN, C]
+    parent_oh = jax.nn.one_hot(parent_indices.reshape(-1), c_max)
+    votes = child_oh.T @ parent_oh  # [C_child, C_parent]
+    occupied = jnp.sum(child_oh, axis=0) > 0
+    parent_of = jnp.argmax(votes, axis=-1)
+    counts = jax.nn.one_hot(parent_of, c_max).T @ occupied.astype(jnp.float32)
+    return counts.astype(jnp.int32)
+
+
+def fps_cluster(
+    config: FPSClusteringConfig,
+    parent_indices: jnp.ndarray,
+    x: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference `FPSClustering.forward` intent (`modeling_fps.py:28-60`):
+    NCut-embed all tokens → PCA → FPS s1 candidates → cosine-similarity
+    profiles → standardize → PCA → FPS supersample → score by #tokens
+    above the similarity threshold → top-k s2 centers → assign tokens by
+    argmax similarity."""
+    b, n = parent_indices.shape
+    flat_x = x.reshape(b * n, -1).astype(jnp.float32)
+    key, k_ncut, k_f1, k_f2 = jax.random.split(key, 4)
+
+    ncut_x, _ = ncut(
+        flat_x,
+        num_eig=config.ncut_dim,
+        key=k_ncut,
+        num_sample=config.num_sample,
+        distance=config.ncut_dist,
+        gamma=config.affinity_focal_gamma,
+    )  # [BN, ncut_dim]
+
+    pca_x, _, _ = pca_lowrank(ncut_x, config.fps_dim)
+    s1_idx = farthest_point_sampling(pca_x, config.fps_sample1, key=k_f1)
+    s1 = ncut_x[s1_idx]  # [s1, ncut_dim]
+
+    def _norm(v):
+        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
+
+    sim = _norm(s1) @ _norm(ncut_x).T  # [s1, BN]
+    sim_std = (sim - jnp.mean(sim, -1, keepdims=True)) / (
+        jnp.std(sim, -1, keepdims=True) + 1e-8
+    )
+    s1_pca, _, _ = pca_lowrank(sim_std, config.fps_dim)
+    ss2_idx = farthest_point_sampling(s1_pca, config.fps_supersample2, key=k_f2)
+    ss2 = s1[ss2_idx]  # [ss2, ncut_dim]
+
+    sim2 = _norm(ss2) @ _norm(ncut_x).T  # [ss2, BN]
+    score = jnp.sum(sim2 > config.cosine_similarity_threshold, axis=-1)
+    _, s2_idx = jax.lax.top_k(score, config.fps_sample2)
+    child = jnp.argmax(sim2[s2_idx], axis=0).astype(jnp.int32)  # [BN]
+
+    child_indices = child.reshape(b, n)
+    n_children = _parent_majority(
+        child_indices, parent_indices, config.max_clusters
+    )
+    return child_indices, n_children
+
+
+def axis_align_cluster(
+    config: AxisAlignClusteringConfig,
+    parent_indices: jnp.ndarray,
+    x: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference `AxisAlignClustering.forward` (`modeling_axisalign.py:23-37`,
+    unfinished upstream — it builds a gumbel one-hot over NCut axes and a
+    token-token mask but returns nothing): the hard one-hot axis IS the
+    cluster assignment, which induces exactly that mask."""
+    b, n = parent_indices.shape
+    flat_x = x.reshape(b * n, -1).astype(jnp.float32)
+    key, k_ncut, k_g = jax.random.split(key, 3)
+
+    demeaned = flat_x - jnp.mean(flat_x, axis=0, keepdims=True)
+    ncut_x, _ = ncut(
+        demeaned,
+        num_eig=config.ncut_dim,
+        key=k_ncut,
+        num_sample=config.num_sample,
+        distance=config.ncut_dist,
+        gamma=config.affinity_focal_gamma,
+    )
+    gumbel = jax.random.gumbel(k_g, ncut_x.shape)
+    child = jnp.argmax(
+        ncut_x / config.temperature + gumbel, axis=-1
+    ).astype(jnp.int32)
+    child_indices = child.reshape(b, n)
+    n_children = _parent_majority(
+        child_indices, parent_indices, config.max_clusters
+    )
+    return child_indices, n_children
+
+
+CLUSTERING_CLASSES = {
+    "spectral": spectral_cluster,
+    "fps": fps_cluster,
+    "axis": axis_align_cluster,
+}
+
+
+def cluster(
+    config: ClusteringConfig,
+    parent_indices: jnp.ndarray,
+    x: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch by config.model_type (reference `CLUSTERING_CLASSES`,
+    `clustering/__init__.py:7-10`)."""
+    return CLUSTERING_CLASSES[config.model_type](config, parent_indices, x, key)

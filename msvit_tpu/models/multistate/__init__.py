@@ -1,0 +1,12 @@
+"""Multi-state encoder — hierarchical mid-network token clustering with
+cluster-restricted attention mediated by learned transmitter/receiver
+tokens (reference `model/multistate_encoder/`, SURVEY §2.3).
+"""
+
+from msvit_tpu.models.multistate.config import MultiStateViTConfig  # noqa: F401
+from msvit_tpu.models.multistate.model import (  # noqa: F401
+    MultiStateViTEncoderBackbone,
+    MultiStateViTEncoderModel,
+    build_multistate_attention_mask,
+    compress_tokens_with_cluster_indices,
+)
