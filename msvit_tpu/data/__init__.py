@@ -1,0 +1,8 @@
+"""Data layer: dataset registry + TPU-feeding image pipeline."""
+
+from msvit_tpu.data.registry import DATASETS, dataset_names  # noqa: F401
+from msvit_tpu.data.pipeline import (  # noqa: F401
+    ImagePipelineConfig,
+    load_image_batches,
+    preprocess_images,
+)

@@ -1,0 +1,139 @@
+"""Image pipeline: decode / resize / normalize, grayscale→3-channel.
+
+The reference does this host-side through HF `ViTImageProcessor` plus a
+grayscale-tiling collate (`sandbox/test.py:35-38`,
+`sandbox/subsample_vit.py:68-77`).  Here there are two paths:
+
+* ``preprocess_images`` — host path (numpy/PIL) for arbitrary inputs;
+  uses the native C++ preprocessor (`msvit_tpu.native`) when built, else
+  numpy/PIL.
+* ``preprocess_on_device`` — jittable device path for already-decoded
+  uint8 arrays: resize (XLA) + rescale + normalize.  Under jit this fuses
+  with the patch-embedding matmul (the BASELINE.json north-star shape:
+  "decode/resize/normalize fuses into the patch-embedding conv").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ImagePipelineConfig:
+    image_size: int = 224
+    mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    method: str = "bilinear"  # resize filter
+
+
+def to_rgb_array(image: Any) -> np.ndarray:
+    """PIL image / ndarray → HWC uint8/float RGB; grayscale is tiled to 3
+    channels (reference `process_grayscale`, `sandbox/test.py:35-38`)."""
+    arr = np.asarray(image)
+    if arr.ndim == 2:
+        arr = np.tile(arr[..., None], (1, 1, 3))
+    if arr.shape[-1] == 1:
+        arr = np.tile(arr, (1, 1, 3))
+    if arr.shape[-1] == 4:  # drop alpha
+        arr = arr[..., :3]
+    return arr
+
+
+def preprocess_images(
+    images: Sequence[Any], config: ImagePipelineConfig = ImagePipelineConfig()
+) -> np.ndarray:
+    """Host path → [B, S, S, 3] float32, normalized.  Uses the native C++
+    kernel when available (see msvit_tpu/native)."""
+    s = config.image_size
+    arrays = [to_rgb_array(im) for im in images]
+
+    try:
+        from msvit_tpu.native import preprocess_batch as native_preprocess
+
+        return native_preprocess(arrays, s, config.mean, config.std)
+    except (ImportError, OSError):
+        pass
+
+    out = np.empty((len(arrays), s, s, 3), np.float32)
+    mean = np.asarray(config.mean, np.float32)
+    std = np.asarray(config.std, np.float32)
+    for i, arr in enumerate(arrays):
+        resized = _resize_bilinear_np(arr.astype(np.float32), s, s)
+        out[i] = (resized / 255.0 - mean) / std
+    return out
+
+
+def _resize_bilinear_np(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Half-pixel-centered bilinear resize (numpy fallback)."""
+    ih, iw = img.shape[:2]
+    ys = (np.arange(h) + 0.5) * ih / h - 0.5
+    xs = (np.arange(w) + 0.5) * iw / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, ih - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, iw - 1)
+    y1 = np.clip(y0 + 1, 0, ih - 1)
+    x1 = np.clip(x0 + 1, 0, iw - 1)
+    ty = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    tx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0[:, None], x0[None, :]]
+    b = img[y0[:, None], x1[None, :]]
+    c = img[y1[:, None], x0[None, :]]
+    d = img[y1[:, None], x1[None, :]]
+    top = a * (1 - tx) + b * tx
+    bot = c * (1 - tx) + d * tx
+    return top * (1 - ty) + bot * ty
+
+
+def preprocess_on_device(
+    images_u8: jnp.ndarray,  # [B, H, W, 3] uint8
+    config: ImagePipelineConfig = ImagePipelineConfig(),
+) -> jnp.ndarray:
+    """Jittable device path: resize + rescale + normalize in the XLA graph."""
+    s = config.image_size
+    x = images_u8.astype(jnp.float32)
+    b = x.shape[0]
+    if x.shape[1] != s or x.shape[2] != s:
+        x = jax.image.resize(x, (b, s, s, 3), method=config.method)
+    mean = jnp.asarray(config.mean)
+    std = jnp.asarray(config.std)
+    return (x / 255.0 - mean) / std
+
+
+def load_image_batches(
+    dataset_id: str,
+    split: str = "train",
+    batch_size: int = 32,
+    config: ImagePipelineConfig = ImagePipelineConfig(),
+    streaming: bool = True,
+    image_key: str = "image",
+    label_key: Optional[str] = "label",
+    shuffle_seed: Optional[int] = None,
+) -> Iterator[dict]:
+    """HF-hub loader (network/cache-gated): yields
+    {"pixel_values": [B,S,S,3] f32, "labels": [B] int or None} — the
+    TPU-native analog of the reference's DataLoader + ViTImageProcessor
+    collate (`sandbox/subsample_vit.py:64-80`)."""
+    try:
+        import datasets  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("`datasets` is required for load_image_batches") from e
+
+    ds = datasets.load_dataset(dataset_id, split=split, streaming=streaming)
+    if shuffle_seed is not None:
+        ds = ds.shuffle(seed=shuffle_seed)
+
+    images, labels = [], []
+    for row in ds:
+        images.append(row[image_key])
+        if label_key is not None and label_key in row:
+            labels.append(row[label_key])
+        if len(images) == batch_size:
+            yield {
+                "pixel_values": preprocess_images(images, config),
+                "labels": np.asarray(labels) if labels else None,
+            }
+            images, labels = [], []

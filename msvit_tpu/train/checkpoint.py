@@ -1,0 +1,66 @@
+"""Checkpoint / resume (orbax).
+
+New capability relative to the reference (SURVEY §5: the reference's only
+persistence is HF-hub *initialization*; it has no save/resume).  Works
+with sharded (multi-chip) pytrees: orbax records shardings and restores
+onto the current mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+def _path(directory: str) -> str:
+    return os.path.abspath(os.path.expanduser(directory))
+
+
+def save_checkpoint(directory: str, step: int, state: Any) -> None:
+    """Save a pytree (params / opt state / counters) under directory/step."""
+    with ocp.CheckpointManager(_path(directory)) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
+
+def restore_checkpoint(
+    directory: str, state_like: Any, step: Optional[int] = None
+) -> Any:
+    """Restore the latest (or given) step; `state_like` provides the tree
+    structure / shapes / shardings to restore into."""
+    with ocp.CheckpointManager(_path(directory)) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {directory}")
+        return mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+
+class CheckpointManager:
+    """Thin stateful wrapper for training loops: periodic save + resume."""
+
+    def __init__(self, directory: str, save_every: int = 1000, max_to_keep: int = 3):
+        self.directory = _path(directory)
+        self.save_every = save_every
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def maybe_save(self, step: int, state: Any) -> bool:
+        if step % self.save_every:
+            return False
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        return True
+
+    def restore_latest(self, state_like: Any) -> tuple[int, Any]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return 0, state_like
+        return step, self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()

@@ -1,0 +1,71 @@
+"""Generic train-step scaffolding (optax).
+
+TPU-native counterpart of the reference's eager AdamW loops
+(`sandbox/predictive.py:96-137`, `sandbox/subsample_vit.py:82-126`):
+one jitted step, donated state, explicit PRNG threading, optional
+trainable-parameter filtering (the subsample script trains only the
+policy projection — `sandbox/subsample_vit.py:85-88`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: int
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(
+    learning_rate: float = 1e-3,
+    weight_decay: float = 1e-2,
+    trainable: Optional[Callable[[Tuple[str, ...]], bool]] = None,
+) -> optax.GradientTransformation:
+    """AdamW, optionally masked to a trainable subset by param path
+    (frozen params get zero updates)."""
+    opt = optax.adamw(learning_rate, weight_decay=weight_decay)
+    if trainable is None:
+        return opt
+
+    def label_fn(params):
+        def path_names(kp):
+            return tuple(
+                str(getattr(k, "key", getattr(k, "name", k))) for k in kp
+            )
+
+        return jax.tree_util.tree_map_with_path(
+            lambda kp, _: "train" if trainable(path_names(kp)) else "freeze",
+            params,
+        )
+
+    return optax.multi_transform(
+        {"train": opt, "freeze": optax.set_to_zero()}, label_fn
+    )
+
+
+def train_step_fn(
+    loss_fn: Callable[[Any, Any, jax.Array], Tuple[jnp.ndarray, Any]],
+    optimizer: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Build a jitted step: (params, opt_state, batch, rng) →
+    (params, opt_state, loss, aux).  loss_fn(params, batch, rng) →
+    (scalar, aux)."""
+
+    def step(params, opt_state, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())

@@ -1,0 +1,203 @@
+"""Host-side visualization (matplotlib) — qualitative inspection tools,
+out of the accelerated path (SURVEY §2.9: t-SNE/matplotlib stay host-side).
+
+* ``visualize_subsample_output`` — nested quadtree rendering: sampled
+  patches drawn in their boxes + sigmoid subdivision-decision heat map per
+  depth (reference `model/subsample_encoder/visualize.py:15-77`).
+* ``visualize_predictive_sample`` — glimpse bounding boxes, predicted
+  positions (arrows), predicted-vs-true patch pairs (reference
+  `modeling_spvitencoder.py:524-634`).
+* ``color`` / ``confidence_ellipse`` — plotting helpers (reference
+  `infrastructure/utils.py:510-558`).
+
+matplotlib imports are deferred so the compute path never depends on it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def color(z: float, scale: float = 120.0) -> np.ndarray:
+    """Cyclic RGB colormap (reference `utils.py:510-512`)."""
+    k = 2 * np.pi * z / scale
+    return (
+        1
+        + np.asarray(
+            [np.sin(k), np.sin(k + 2 * np.pi / 3), np.sin(k + 4 * np.pi / 3)]
+        )
+    ) / 2
+
+
+def confidence_ellipse(x, y, ax, n_std: float = 1.0, facecolor="none", **kwargs):
+    """Covariance confidence ellipse (reference `utils.py:515-558`)."""
+    from matplotlib import transforms
+    from matplotlib.patches import Ellipse
+
+    x, y = np.asarray(x), np.asarray(y)
+    if x.size != y.size:
+        raise ValueError("x and y must be the same size")
+    m = np.stack([x, y], axis=0)
+    cov = (m @ m.T) / len(x)
+    pearson = cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1])
+    ellipse = Ellipse(
+        (0, 0),
+        width=np.sqrt(1 + pearson) * 2,
+        height=np.sqrt(1 - pearson) * 2,
+        facecolor=facecolor,
+        **kwargs,
+    )
+    transf = (
+        transforms.Affine2D()
+        .rotate_deg(45)
+        .scale(np.sqrt(cov[0, 0]) * n_std, np.sqrt(cov[1, 1]) * n_std)
+    )
+    ellipse.set_transform(transf + ax.transData)
+    return ax.add_patch(ellipse)
+
+
+def _denormalize(im: np.ndarray, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)):
+    return np.clip(im * np.asarray(std) + np.asarray(mean), 0.0, 1.0)
+
+
+def visualize_subsample_output(
+    outputs: Dict[str, Any],
+    tree,
+    num_ims: int = 3,
+    mean=(0.5, 0.5, 0.5),
+    std=(0.5, 0.5, 0.5),
+    show: bool = True,
+    save_path: Optional[str] = None,
+):
+    """Render the nested quadtree (patches in boxes; decision heat map).
+
+    `outputs` is a `SubsampleViTForImageClassification` result with
+    output_logs=True and return_pixel_values=True; `tree` the model's
+    `QuadTree`.  Corners are in the reference's (y, x) normalized order.
+    """
+    from matplotlib import pyplot as plt
+
+    logs = outputs["logs"]
+    pixels = np.asarray(outputs["pixel_values"], np.float32)  # [B,cap,P,P,C]
+    depths = len(logs["valid_masks"])
+    corners_all = np.asarray(tree.corners)
+
+    nrows, ncols = 2, depths * num_ims
+    fig, axs = plt.subplots(
+        nrows=nrows, ncols=ncols, figsize=(2.0 * ncols, 2.0 * nrows),
+        squeeze=False,
+    )
+    for im_idx in range(num_ims):
+        for depth in range(depths):
+            valid = np.asarray(logs["valid_masks"][depth][im_idx])
+            corners = corners_all[valid]
+            patches = _denormalize(pixels[im_idx][valid], mean, std)
+            logits = np.asarray(logs["subsample_logits"][depth][im_idx])[valid]
+            sig = 1.0 / (1.0 + np.exp(-logits))
+
+            ax_im = axs[0, im_idx * depths + depth]
+            ax_im.axis("off")
+            ax_im.set_aspect("equal")
+            for pv, c in zip(patches, corners):
+                ax_im.imshow(
+                    pv,
+                    extent=(c[0, 1], c[1, 1], c[1, 0], c[0, 0]),
+                    interpolation="none",
+                )
+            for c in corners:
+                ax_im.plot(
+                    [c[0, 1], c[0, 1], c[1, 1], c[1, 1], c[0, 1]],
+                    [c[0, 0], c[1, 0], c[1, 0], c[0, 0], c[0, 0]],
+                    color="gold",
+                    linewidth=2.0 * abs(c[1, 0] - c[0, 0]),
+                    linestyle="--",
+                )
+            ax_im.set_title(f"Image {im_idx}: depth {depth}")
+
+            ax_dt = axs[1, im_idx * depths + depth]
+            ax_dt.axis("off")
+            ax_dt.set_aspect("equal")
+            for s, c in zip(sig, corners):
+                ax_dt.imshow(
+                    np.asarray(s)[None, None],
+                    cmap="seismic",
+                    vmin=0.4,
+                    vmax=0.6,
+                    extent=(c[0, 1], c[1, 1], c[1, 0], c[0, 0]),
+                    interpolation="none",
+                )
+                center = (c[0] + c[1]) / 2
+                ax_dt.text(
+                    center[1],
+                    center[0],
+                    f"{float(s):.2f}",
+                    fontsize=12.0 * abs(c[1, 0] - c[0, 0]) ** 0.5,
+                    ha="center",
+                    va="center",
+                )
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return fig
+
+
+def visualize_predictive_sample(
+    pixel_values: np.ndarray,  # [B, H, W, C], normalized
+    output: Dict[str, Any],
+    meta: Dict[str, Any],
+    model,
+    variables,
+    num_ims: int = 3,
+    show: bool = True,
+    save_path: Optional[str] = None,
+):
+    """Glimpse bboxes + predicted positions/patches (reference
+    `modeling_spvitencoder.py:524-634`)."""
+    from matplotlib import pyplot as plt
+
+    def bbox_of(positions):
+        return np.asarray(
+            model.apply(
+                variables,
+                positions,
+                True,
+                method=lambda m, p, b: m.patch_embeddings.grid_sample_points(p, b),
+            )
+        )  # [..., 2, 2, 2] corner grid, (y, x)
+
+    sample_grid = bbox_of(np.asarray(output["input_position"]))
+    have_pred = "predicted_context_position" in meta
+    if have_pred:
+        pred_grid = bbox_of(np.asarray(meta["predicted_context_position"]))
+
+    fig, axs = plt.subplots(
+        1, num_ims, figsize=(4.0 * num_ims, 4.0), squeeze=False
+    )
+    for i in range(num_ims):
+        ax = axs[0, i]
+        ax.set_aspect("equal")
+        im = np.asarray(pixel_values[i])
+        im = (im - im.min()) / max(im.max() - im.min(), 1e-6)
+        ax.imshow(im, extent=(-1.0, 1.0, 1.0, -1.0))
+        n_ctx = int(output["context_lengths"][i])
+        for j in range(n_ctx):
+            g = sample_grid[i, j]  # [2,2,2] corners (y,x)
+            ys = [g[0, 0, 0], g[0, 1, 0], g[1, 1, 0], g[1, 0, 0], g[0, 0, 0]]
+            xs = [g[0, 0, 1], g[0, 1, 1], g[1, 1, 1], g[1, 0, 1], g[0, 0, 1]]
+            ax.plot(xs, ys, color="black", linestyle="--", linewidth=1.5)
+            if have_pred:
+                pg = pred_grid[i, j]
+                pys = [pg[0, 0, 0], pg[0, 1, 0], pg[1, 1, 0], pg[1, 0, 0], pg[0, 0, 0]]
+                pxs = [pg[0, 0, 1], pg[0, 1, 1], pg[1, 1, 1], pg[1, 0, 1], pg[0, 0, 1]]
+                ax.plot(pxs, pys, color="purple", linestyle="--", linewidth=1.5)
+        ax.set_title(f"Image {i}")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return fig
