@@ -203,9 +203,11 @@ class BaseViTLayer(nn.Module):
         output_attentions: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         cfg = self.config
-        ln = lambda name: nn.LayerNorm(  # noqa: E731
+        from msvit_tpu.models.base.norm import LayerNorm
+
+        ln = lambda name: LayerNorm(  # noqa: E731
             epsilon=cfg.layer_norm_eps,
-            dtype=jnp.float32,
+            out_dtype=cfg.policy.compute,
             param_dtype=cfg.policy.param,
             name=name,
         )

@@ -137,12 +137,14 @@ class ViTModel(nn.Module):
             output_attentions=output_attentions,
             output_hidden_states=output_hidden_states,
         )
-        x = nn.LayerNorm(
+        from msvit_tpu.models.base.norm import LayerNorm
+
+        x = LayerNorm(
             epsilon=cfg.layer_norm_eps,
-            dtype=jnp.float32,
+            out_dtype=cfg.policy.output,
             param_dtype=cfg.policy.param,
             name="layernorm",
-        )(x).astype(cfg.policy.output)
+        )(x)
 
         pooled = None
         if self.add_pooler:

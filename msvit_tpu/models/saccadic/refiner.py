@@ -148,9 +148,11 @@ class SaccadicViTLayer(nn.Module):
         )(attn_out)
         hidden_states = attn_out + hidden_states
 
-        x = nn.LayerNorm(
+        from msvit_tpu.models.base.norm import LayerNorm
+
+        x = LayerNorm(
             epsilon=cfg.layer_norm_eps,
-            dtype=jnp.float32,
+            out_dtype=cfg.policy.compute,
             param_dtype=cfg.policy.param,
             name="layernorm_after",
         )(hidden_states)

@@ -333,9 +333,11 @@ class SubsampleViTModel(nn.Module):
 
         final_tokens = cached[:, :, -1, :]
         seq = jnp.concatenate([cls_cached[:, :, -1, :], final_tokens], axis=1)
-        seq = nn.LayerNorm(
+        from msvit_tpu.models.base.norm import LayerNorm
+
+        seq = LayerNorm(
             epsilon=cfg.layer_norm_eps,
-            dtype=jnp.float32,
+            out_dtype=jnp.float32,
             param_dtype=cfg.policy.param,
             name="layernorm",
         )(seq)

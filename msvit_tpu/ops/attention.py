@@ -118,9 +118,17 @@ def multi_head_attention(
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Dispatching attention front end used by all encoder families."""
     if implementation == "auto":
+        # Measured on v5e (see benchmarks/): XLA's fused attention wins at
+        # this framework's sequence lengths (≤ ~1.6k tokens); the Pallas
+        # flash kernel only pays off for much longer sequences where the
+        # O(N²) probs tensor stops fitting comfortably in HBM bandwidth.
         implementation = (
             "flash"
-            if (not output_probs and _flash_eligible(q, k, mask))
+            if (
+                not output_probs
+                and q.shape[-2] >= 4096
+                and _flash_eligible(q, k, mask)
+            )
             else "xla"
         )
     if implementation == "flash" and not output_probs and _flash_eligible(q, k, mask):
