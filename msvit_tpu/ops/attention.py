@@ -106,6 +106,15 @@ def _flash_eligible(q, k, mask) -> bool:
     return True
 
 
+def _fused_eligible(q, k) -> bool:
+    # one head's f32 scores tile must fit the single-pass kernel's VMEM
+    # budget (see ops/fused_attention.py)
+    def pad(n):
+        return -(-n // 128) * 128
+
+    return pad(q.shape[-2]) * pad(k.shape[-2]) * 4 <= 8 * 1024 * 1024
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -118,28 +127,28 @@ def multi_head_attention(
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Dispatching attention front end used by all encoder families."""
     if implementation == "auto":
-        # Measured on v5e (see benchmarks/): XLA's fused attention wins at
-        # this framework's sequence lengths (≤ ~1.6k tokens); the Pallas
-        # flash kernel only pays off for much longer sequences where the
-        # O(N²) probs tensor stops fitting comfortably in HBM bandwidth.
-        implementation = (
-            "flash"
-            if (
-                not output_probs
-                and q.shape[-2] >= 4096
-                and _flash_eligible(q, k, mask)
-            )
-            else "xla"
-        )
+        # Measured on v5e (tests/test_fused_attention.py + benchmarks):
+        # the single-pass fused Pallas kernel wins at this framework's
+        # short sequences (scores tile lives in VMEM only); the online-
+        # softmax flash kernel is for sequences whose per-head scores tile
+        # exceeds VMEM; XLA whenever probabilities are requested.
+        if output_probs or not _flash_eligible(q, k, mask):
+            implementation = "xla"
+        elif _fused_eligible(q, k):
+            implementation = "fused"
+        else:
+            implementation = "flash"
+    if implementation == "fused" and not output_probs and _flash_eligible(q, k, mask):
+        from msvit_tpu.ops.fused_attention import fused_attention
+
+        out = fused_attention(q, k, v, mask=mask, scale=scale, mask_value=mask_value)
+        return out, None
     if implementation == "flash" and not output_probs and _flash_eligible(q, k, mask):
-        try:
-            from msvit_tpu.ops.flash_attention import flash_attention
-        except ImportError:
-            flash_attention = None
-        if flash_attention is not None:
-            out = flash_attention(
-                q, k, v, mask=mask, scale=scale, mask_value=mask_value
-            )
-            return out, None
+        from msvit_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            q, k, v, mask=mask, scale=scale, mask_value=mask_value
+        )
+        return out, None
     out, probs = xla_attention(q, k, v, mask=mask, scale=scale, mask_value=mask_value)
     return out, (probs if output_probs else None)

