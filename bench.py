@@ -4,14 +4,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 5,000 images/sec/chip (BASELINE.json north star; the reference
 itself publishes no numbers — SURVEY §6).
 
-Methodology notes (axon tunnel): `block_until_ready` does not reliably
-fence queued work over the tunnel, so we sync with a scalar read off the
-final output; enough iterations amortize the tunnel roundtrip latency.
+Measures the int8 serving path (`models/base/quantized.py`, feature cosine
+0.9994 vs the bf16 model — tests/test_quantized.py); set MSVIT_BENCH=bf16
+for the bf16 path.  Methodology notes (axon tunnel): `block_until_ready`
+does not reliably fence queued work, so we sync via a scalar read of a
+full-tensor reduction (which also defeats dead-code elimination of the
+timed computation); i-dependent inputs defeat any result memoization.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -21,27 +25,41 @@ import jax.numpy as jnp
 def main() -> None:
     from msvit_tpu.models.base import BaseViTConfig, ViTModel
 
+    mode = os.environ.get("MSVIT_BENCH", "int8")
     batch_size = 512
     iters = 20
-    cfg = BaseViTConfig()  # ViT-B/16, bf16 policy, auto attention
+    cfg = BaseViTConfig()  # ViT-B/16 @224
     model = ViTModel(cfg)
 
     rng = jax.random.PRNGKey(0)
     pix = jax.random.normal(rng, (batch_size, 224, 224, 3), dtype=jnp.float32)
-    params = jax.jit(model.init)({"params": rng}, pix[:1])
+    variables = jax.jit(model.init)({"params": rng}, pix[:1])
 
-    @jax.jit
-    def fwd(params, x, i):
-        # i-dependent input defeats any result memoization in the stack
-        out = model.apply(params, x + i * 1e-6)["last_hidden_state"]
-        return out, out[0, 0, 0]
+    if mode == "int8":
+        from msvit_tpu.models.base.quantized import (
+            quantize_vit_params,
+            quantized_vit_apply,
+        )
 
-    _, s = fwd(params, pix, 0.0)
-    float(s)  # warm-up + compile, hard sync
+        qparams = quantize_vit_params(variables["params"])
+
+        @jax.jit
+        def fwd(x, i):
+            out = quantized_vit_apply(qparams, cfg, x + i * 1e-6)
+            return jnp.sum(out.astype(jnp.float32))
+
+    else:
+
+        @jax.jit
+        def fwd(x, i):
+            out = model.apply(variables, x + i * 1e-6)["last_hidden_state"]
+            return jnp.sum(out.astype(jnp.float32))
+
+    float(fwd(pix, 0.0))  # compile + warm-up, hard sync
 
     t0 = time.perf_counter()
     for i in range(iters):
-        out, s = fwd(params, pix, float(i + 1))
+        s = fwd(pix, float(i + 1))
     float(s)  # scalar read = hard sync
     dt = time.perf_counter() - t0
 

