@@ -37,15 +37,21 @@ def main() -> None:
 
     if mode == "int8":
         from msvit_tpu.models.base.quantized import (
+            calibrate_act_scales,
             quantize_vit_params,
             quantized_vit_apply,
         )
 
         qparams = quantize_vit_params(variables["params"])
+        scales = jax.jit(
+            lambda q, x: calibrate_act_scales(q, cfg, x)
+        )(qparams, pix[:64])
 
         @jax.jit
         def fwd(x, i):
-            out = quantized_vit_apply(qparams, cfg, x + i * 1e-6)
+            out = quantized_vit_apply(
+                qparams, cfg, x + i * 1e-6, act_scales=scales
+            )
             return jnp.sum(out.astype(jnp.float32))
 
     else:

@@ -43,6 +43,11 @@ class BaseViTConfig:
     attn_implementation: str = "auto"
     policy: Policy = Policy()
     remat: bool = False  # jax.checkpoint each block (memory ↔ FLOPs)
+    # Megatron-SP-style sequence parallelism: constrain the token axis of
+    # inter-block activations to the "model" mesh axis (GSPMD inserts the
+    # all-gather/reduce-scatter pairs around attention/MLP).  Requires
+    # running under a ("data","model") mesh context (jax.sharding.use_mesh).
+    sequence_sharding: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -279,7 +279,22 @@ class BaseViTEncoder(nn.Module):
         if cfg.remat:
             layer_cls = nn.remat(BaseViTLayer, static_argnums=(4, 5))
 
+        def constrain(x):
+            # sequence parallelism: tokens sharded on "model" between
+            # blocks; no-op without an active mesh
+            if not cfg.sequence_sharding:
+                return x
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                return jax.lax.with_sharding_constraint(
+                    x, P("data", "model", None)
+                )
+            except (ValueError, RuntimeError):
+                return x
+
         for i in range(cfg.num_hidden_layers):
+            hidden_states = constrain(hidden_states)
             if output_hidden_states:
                 all_hidden.append(hidden_states)
             ctx = context_states[i] if context_states is not None else None

@@ -82,8 +82,14 @@ def quantized_vit_apply(
     config: BaseViTConfig,
     pixel_values: jnp.ndarray,  # [B, H, W, C] NHWC
     interpolate_pos_encoding: bool = False,
+    act_scales: Dict[str, Any] = None,
+    _record_scales: Dict[str, Any] = None,
 ) -> jnp.ndarray:
-    """int8 inference forward; returns last_hidden_state [B, N+1, D]."""
+    """int8 inference forward; returns last_hidden_state [B, N+1, D].
+
+    `act_scales` (from `calibrate_act_scales`) switches activation
+    quantization from dynamic absmax to static calibrated scales — one
+    fewer full read of every matmul input."""
     cfg = config
     p = cfg.patch_size
     b, img_h, img_w, c = pixel_values.shape
@@ -91,10 +97,18 @@ def quantized_vit_apply(
     d, h, dh = cfg.hidden_size, cfg.num_attention_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
 
+    def mm(site, x, wp):
+        if _record_scales is not None:
+            _record_scales[site] = (
+                jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+            )
+        s = act_scales.get(site) if act_scales else None
+        return int8_matmul(x, wp["w"], wp["bias"], act_scale=s)
+
     x = pixel_values.reshape(b, gh, p, gw, p, c)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
     emb = qparams["embeddings"]
-    x = int8_matmul(x, emb["patch_projection"]["w"], emb["patch_projection"]["bias"])
+    x = mm("patch", x, emb["patch_projection"])
 
     pos = jnp.asarray(emb["position_embeddings"])
     cls = jnp.broadcast_to(jnp.asarray(emb["cls_token"]), (b, 1, d))
@@ -107,19 +121,34 @@ def quantized_vit_apply(
     for i in range(cfg.num_hidden_layers):
         lp = qparams["encoder"][f"layer_{i}"]
         y = _layer_norm(x, lp["norm1"], eps)
-        qkv = int8_matmul(y, lp["qkv"]["w"], lp["qkv"]["bias"])  # [B,N,3HD]
+        qkv = mm(f"qkv_{i}", y, lp["qkv"])  # [B,N,3HD]
         qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
         out, _ = multi_head_attention(
             qkv[0], qkv[1], qkv[2], implementation="xla"
         )
         out = jnp.swapaxes(out, 1, 2).reshape(b, n, d)
-        out = int8_matmul(out, lp["proj"]["w"], lp["proj"]["bias"])
+        out = mm(f"proj_{i}", out, lp["proj"])
         x = x + out * lp["layer_scale1"].astype(out.dtype)
 
         y = _layer_norm(x, lp["norm2"], eps)
-        y = int8_matmul(y, lp["fc1"]["w"], lp["fc1"]["bias"])
+        y = mm(f"fc1_{i}", y, lp["fc1"])
         y = jax.nn.gelu(y, approximate=False)
-        y = int8_matmul(y, lp["fc2"]["w"], lp["fc2"]["bias"])
+        y = mm(f"fc2_{i}", y, lp["fc2"])
         x = x + y * lp["layer_scale2"].astype(y.dtype)
 
     return _layer_norm(x, qparams["layernorm"], eps)
+
+
+def calibrate_act_scales(
+    qparams: Dict[str, Any],
+    config: BaseViTConfig,
+    sample_pixels: jnp.ndarray,
+    margin: float = 1.1,
+) -> Dict[str, jnp.ndarray]:
+    """One dynamic-quant forward over a representative batch, recording the
+    per-site activation absmax scales (× a safety margin)."""
+    record: Dict[str, Any] = {}
+    quantized_vit_apply(
+        qparams, config, sample_pixels, _record_scales=record
+    )
+    return {k: jax.lax.stop_gradient(v) * margin for k, v in record.items()}

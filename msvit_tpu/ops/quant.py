@@ -32,10 +32,15 @@ def quantize_weight(w: jnp.ndarray, axis: int = -1) -> QuantizedTensor:
     return QuantizedTensor(q, scale.astype(jnp.float32))
 
 
-def quantize_activation(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dynamic symmetric per-tensor quantization → (int8, scalar scale)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.maximum(amax, 1e-8) / 127.0
+def quantize_activation(
+    x: jnp.ndarray, scale: jnp.ndarray = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-tensor quantization → (int8, scalar scale).  With a
+    precomputed (calibrated) `scale`, the runtime absmax reduction — a full
+    extra read of the activation tensor — is skipped."""
+    if scale is None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
         jnp.int8
     )
@@ -47,9 +52,11 @@ def int8_matmul(
     w: QuantizedTensor,  # kernel [in, out]
     bias: jnp.ndarray = None,
     out_dtype=jnp.bfloat16,
+    act_scale: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Dynamic-activation int8 GEMM with fused dequant epilogue."""
-    xq, sx = quantize_activation(x)
+    """int8 GEMM with fused dequant epilogue; activation scale either
+    dynamic (absmax) or calibrated (`act_scale`)."""
+    xq, sx = quantize_activation(x, act_scale)
     acc = jax.lax.dot_general(
         xq,
         w.values,
