@@ -264,7 +264,12 @@ class SaccadicViTModel:
         return {
             "trace": {
                 k: np.stack([t[k] for t in trace])
-                for k in ("query", "embedding", "predicted_embedding")
+                for k in (
+                    "query",
+                    "embedding",
+                    "raw_embedding",
+                    "predicted_embedding",
+                )
             }
             if trace
             else {},
