@@ -91,19 +91,25 @@ def xla_attention(
     return out.astype(q.dtype), probs
 
 
-def _flash_eligible(q, k, mask) -> bool:
-    # Pallas kernel constraints: 4D [B,H,N,D] inputs, bool (or no) mask,
-    # and a TPU backend (the Mosaic kernel has no CPU lowering).
-    try:
-        if jax.devices()[0].platform != "tpu":
-            return False
-    except RuntimeError:
-        return False
+def _kernel_shapes_ok(q, k, mask) -> bool:
+    """Pallas kernel constraints: 4D [B,H,N,D] inputs, bool (or no) mask."""
     if q.ndim != 4 or k.ndim != 4:
         return False
     if mask is not None and mask.dtype != jnp.bool_:
         return False
     return True
+
+
+def _flash_eligible(q, k, mask) -> bool:
+    # auto-dispatch additionally requires a TPU backend (off-TPU the
+    # kernels run in the slow interpreter — fine for explicit/test use,
+    # wrong as a default).
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    return _kernel_shapes_ok(q, k, mask)
 
 
 def _fused_eligible(q, k) -> bool:
@@ -138,12 +144,12 @@ def multi_head_attention(
             implementation = "fused"
         else:
             implementation = "flash"
-    if implementation == "fused" and not output_probs and _flash_eligible(q, k, mask):
+    if implementation == "fused" and not output_probs and _kernel_shapes_ok(q, k, mask):
         from msvit_tpu.ops.fused_attention import fused_attention
 
         out = fused_attention(q, k, v, mask=mask, scale=scale, mask_value=mask_value)
         return out, None
-    if implementation == "flash" and not output_probs and _flash_eligible(q, k, mask):
+    if implementation == "flash" and not output_probs and _kernel_shapes_ok(q, k, mask):
         from msvit_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(

@@ -152,6 +152,8 @@ def _fused_forward(q, k, v, mask, scale, mask_value):
             bytes_accessed=(qp.size + kp.size + vp.size) * 2,
             transcendentals=b * h * nq_pad * nk_pad,
         ),
+        # interpreter mode off-TPU: lets CPU CI exercise the kernel math
+        interpret=jax.devices()[0].platform != "tpu",
     )(*operands)
     return out[:, :, :nq]
 

@@ -37,3 +37,31 @@ def test_fused_eligibility_boundary():
     assert _fused_eligible(q_small, q_small)
     q_big = jnp.zeros((1, 1, 2048, 64))
     assert not _fused_eligible(q_big, q_big)  # 2048² f32 > 8MB budget
+
+
+def test_fused_kernel_interpret_mode_matches_xla():
+    """Kernel math on CPU via the Pallas interpreter (same code path that
+    compiles on TPU), including bool masks and context-extended kv."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (2, 4, 37, 16))
+    k = jax.random.normal(ks[1], (2, 4, 45, 16))
+    v = jax.random.normal(ks[2], (2, 4, 45, 16))
+    mask = jax.random.bernoulli(ks[3], 0.8, (2, 1, 37, 45)) | (
+        jax.lax.broadcasted_iota(jnp.int32, (37, 45), 1) == 0
+    )
+    ref, _ = xla_attention(q, k, v, mask=mask)
+    out, _ = multi_head_attention(q, k, v, mask=mask, implementation="fused")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_kernel_interpret_mode_matches_xla():
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (1, 2, 37, 16))
+    k = jax.random.normal(ks[1], (1, 2, 45, 16))
+    v = jax.random.normal(ks[2], (1, 2, 45, 16))
+    mask = jax.random.bernoulli(ks[3], 0.8, (1, 1, 37, 45)) | (
+        jax.lax.broadcasted_iota(jnp.int32, (37, 45), 1) == 0
+    )
+    ref, _ = xla_attention(q, k, v, mask=mask)
+    out, _ = multi_head_attention(q, k, v, mask=mask, implementation="flash")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
