@@ -64,6 +64,12 @@ class ViTEmbeddings(nn.Module):
         cfg = self.config
         p = cfg.patch_size
         b, img_h, img_w, c = pixel_values.shape
+        if c != cfg.num_channels and img_h == cfg.num_channels:
+            raise ValueError(
+                f"pixel_values look channels-first {pixel_values.shape}; "
+                "this framework is NHWC — transpose(0, 2, 3, 1) torch-style "
+                "inputs"
+            )
         gh, gw = img_h // p, img_w // p
 
         # reshape-patchify: [B,H,W,C] -> [B, gh*gw, P*P*C]; feature order
