@@ -21,6 +21,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: tunnel compiles of the ViT-B graph take
+# minutes; repeated bench runs (driver + local) reuse the compiled binary.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 def main() -> None:
     from msvit_tpu.models.base import BaseViTConfig, ViTModel

@@ -43,6 +43,11 @@ class ClusteringConfig:
     num_sample: int = 1024
     # static upper bound on total clusters (the padded cluster axis)
     max_clusters: int = 16
+    # True (reference semantics): tokens of every batch element are pooled
+    # per parent cluster (`modeling_spectral.py:85-90` gathers across the
+    # batch) — cluster ids are global.  False: cluster each image
+    # independently (vmapped) — the sane mode for batched inference.
+    pool_batch: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,20 +80,18 @@ class AxisAlignClusteringConfig(ClusteringConfig):
     affinity_focal_gamma: float = 3.0
 
 
-def spectral_cluster(
+def _spectral_single(
     config: SpectralClusteringConfig,
-    parent_indices: jnp.ndarray,  # [B, N] int
-    x: jnp.ndarray,  # [B, N, D]
+    flat_parent: jnp.ndarray,  # [M] int
+    flat_x: jnp.ndarray,  # [M, D]
     key: jax.Array,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Reference `SpectralClustering.forward` (`modeling_spectral.py:72-94`)
-    with static shapes.  Returns (child_indices [B,N], n_children [C_max])."""
-    b, n = parent_indices.shape
-    flat_x = x.reshape(b * n, -1).astype(jnp.float32)
-    flat_parent = parent_indices.reshape(b * n)
+    """Core per-parent NCut→threshold→KMeans over one token set; returns
+    (child ids [M], n_children [C_max])."""
     c_max = config.max_clusters
+    flat_x = flat_x.astype(jnp.float32)
 
-    result = jnp.zeros((b * n,), jnp.int32)
+    result = jnp.zeros(flat_parent.shape, jnp.int32)
     n_children = jnp.zeros((c_max,), jnp.int32)
     cum = jnp.zeros((), jnp.int32)
 
@@ -127,8 +130,32 @@ def spectral_cluster(
         n_children = n_children.at[p].set(jnp.where(has, k_p, 0))
         cum = cum + jnp.where(has, k_p, 0)
 
-    result = jnp.clip(result, 0, c_max - 1)
-    return result.reshape(b, n), n_children
+    return jnp.clip(result, 0, c_max - 1), n_children
+
+
+def spectral_cluster(
+    config: SpectralClusteringConfig,
+    parent_indices: jnp.ndarray,  # [B, N] int
+    x: jnp.ndarray,  # [B, N, D]
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference `SpectralClustering.forward` (`modeling_spectral.py:72-94`)
+    with static shapes.  Returns (child_indices [B,N], n_children) where
+    n_children is [C_max] in pooled mode (reference semantics) or [B,C_max]
+    in per-image mode (config.pool_batch=False)."""
+    b, n = parent_indices.shape
+    if config.pool_batch:
+        result, n_children = _spectral_single(
+            config,
+            parent_indices.reshape(b * n),
+            x.reshape(b * n, -1),
+            key,
+        )
+        return result.reshape(b, n), n_children
+    keys = jax.random.split(key, b)
+    return jax.vmap(lambda pi, xi, ki: _spectral_single(config, pi, xi, ki))(
+        parent_indices, x, keys
+    )
 
 
 def _parent_majority(
@@ -148,6 +175,19 @@ def _parent_majority(
     return counts.astype(jnp.int32)
 
 
+def _vmap_per_image(fn, config, parent_indices, x, key):
+    """Per-image mode for variants written against pooled flat arrays:
+    vmap the pooled implementation over singleton batches."""
+    pooled = dataclasses.replace(config, pool_batch=True)
+    keys = jax.random.split(key, parent_indices.shape[0])
+
+    def one(pi, xi, ki):
+        ci, nc = fn(pooled, pi[None], xi[None], ki)
+        return ci[0], nc
+
+    return jax.vmap(one)(parent_indices, x, keys)
+
+
 def fps_cluster(
     config: FPSClusteringConfig,
     parent_indices: jnp.ndarray,
@@ -160,6 +200,8 @@ def fps_cluster(
     above the similarity threshold → top-k s2 centers → assign tokens by
     argmax similarity."""
     b, n = parent_indices.shape
+    if not config.pool_batch:
+        return _vmap_per_image(fps_cluster, config, parent_indices, x, key)
     flat_x = x.reshape(b * n, -1).astype(jnp.float32)
     key, k_ncut, k_f1, k_f2 = jax.random.split(key, 4)
 
@@ -210,6 +252,10 @@ def axis_align_cluster(
     token-token mask but returns nothing): the hard one-hot axis IS the
     cluster assignment, which induces exactly that mask."""
     b, n = parent_indices.shape
+    if not config.pool_batch:
+        return _vmap_per_image(
+            axis_align_cluster, config, parent_indices, x, key
+        )
     flat_x = x.reshape(b * n, -1).astype(jnp.float32)
     key, k_ncut, k_g = jax.random.split(key, 3)
 

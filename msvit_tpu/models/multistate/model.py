@@ -132,15 +132,29 @@ class MultiStateViTEncoderBackbone(nn.Module):
                     step_key,
                 )
                 # duplicate parent TX/RX pairs onto their children via
-                # cumsum + searchsorted (reference `:494-502`)
-                cum = jnp.cumsum(n_children)
-                parent_of = jnp.searchsorted(
-                    cum, jnp.arange(c), side="right"
-                ).astype(jnp.int32)
-                parent_of = jnp.clip(parent_of, 0, c - 1)
-                cluster_tokens = cluster_tokens[:, parent_of]
+                # cumsum + searchsorted (reference `:494-502`).  n_children
+                # is [C] in pooled mode (global ids, shared parent map) or
+                # [B, C] in per-image mode (config.clustering.pool_batch).
+                cum = jnp.cumsum(n_children, axis=-1)
+                if n_children.ndim == 1:
+                    parent_of = jnp.searchsorted(
+                        cum, jnp.arange(c), side="right"
+                    ).astype(jnp.int32)
+                    parent_of = jnp.clip(parent_of, 0, c - 1)
+                    cluster_tokens = cluster_tokens[:, parent_of]
+                    n_clusters = jnp.maximum(cum[-1].astype(jnp.int32), 1)
+                else:
+                    parent_of = jax.vmap(
+                        lambda cm: jnp.searchsorted(
+                            cm, jnp.arange(c), side="right"
+                        )
+                    )(cum).astype(jnp.int32)
+                    parent_of = jnp.clip(parent_of, 0, c - 1)
+                    cluster_tokens = jnp.take_along_axis(
+                        cluster_tokens, parent_of[:, :, None, None], axis=1
+                    )
+                    n_clusters = jnp.maximum(cum[:, -1].astype(jnp.int32), 1)
                 cluster_indices = child_indices
-                n_clusters = jnp.maximum(cum[-1].astype(jnp.int32), 1)
                 mask = build_multistate_attention_mask(
                     cluster_indices, n_clusters, c
                 )
