@@ -166,18 +166,23 @@ class MultiStateViTEncoderBackbone(nn.Module):
             additive = jnp.where(mask, 0.0, -cfg.attention_mask_inf).astype(
                 jnp.float32
             )
+            # probabilities are only a model output on the last layer (the
+            # pooled RX→TX attentions) or when per-layer attentions are
+            # requested; other layers can use the fused prob-free kernel
+            need_probs = output_attentions or i == cfg.num_hidden_layers - 1
             concat, probs = BaseViTLayer(cfg, name=f"layer_{i}")(
                 concat,
                 attention_mask=additive,
                 deterministic=deterministic,
-                output_attentions=True,
+                output_attentions=need_probs,
             )
             cluster_tokens = concat[:, : 2 * c].reshape(b, c, 2, d)
             hidden_states = concat[:, 2 * c :]
 
             # attention sub-blocks (reference `:534-538`) — static slices
             # thanks to the even/odd TX/RX layout
-            rx_to_tx = probs[:, :, 1 : 2 * c : 2, 0 : 2 * c : 2]
+            if need_probs:
+                rx_to_tx = probs[:, :, 1 : 2 * c : 2, 0 : 2 * c : 2]
             if output_hidden_states:
                 collect["hidden_states"].append(hidden_states)
             if output_cluster_indices:

@@ -91,25 +91,31 @@ def xla_attention(
     return out.astype(q.dtype), probs
 
 
-def _kernel_shapes_ok(q, k, mask) -> bool:
-    """Pallas kernel constraints: 4D [B,H,N,D] inputs, bool (or no) mask."""
+def _kernel_shapes_ok(q, k, mask, allow_float_mask: bool = False) -> bool:
+    """Pallas kernel constraints: 4D [B,H,N,D] inputs; bool mask (the fused
+    kernel additionally supports 4D additive float masks)."""
     if q.ndim != 4 or k.ndim != 4:
         return False
-    if mask is not None and mask.dtype != jnp.bool_:
-        return False
+    if mask is not None:
+        if mask.ndim != 4:
+            return False
+        if mask.dtype != jnp.bool_ and not allow_float_mask:
+            return False
     return True
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
 
 
 def _flash_eligible(q, k, mask) -> bool:
     # auto-dispatch additionally requires a TPU backend (off-TPU the
     # kernels run in the slow interpreter — fine for explicit/test use,
     # wrong as a default).
-    try:
-        if jax.devices()[0].platform != "tpu":
-            return False
-    except RuntimeError:
-        return False
-    return _kernel_shapes_ok(q, k, mask)
+    return _on_tpu() and _kernel_shapes_ok(q, k, mask)
 
 
 def _fused_eligible(q, k) -> bool:
@@ -138,13 +144,21 @@ def multi_head_attention(
         # short sequences (scores tile lives in VMEM only); the online-
         # softmax flash kernel is for sequences whose per-head scores tile
         # exceeds VMEM; XLA whenever probabilities are requested.
-        if output_probs or not _flash_eligible(q, k, mask):
+        if output_probs or not _on_tpu():
             implementation = "xla"
-        elif _fused_eligible(q, k):
+        elif _fused_eligible(q, k) and _kernel_shapes_ok(
+            q, k, mask, allow_float_mask=True
+        ):
             implementation = "fused"
-        else:
+        elif _kernel_shapes_ok(q, k, mask):
             implementation = "flash"
-    if implementation == "fused" and not output_probs and _kernel_shapes_ok(q, k, mask):
+        else:
+            implementation = "xla"
+    if (
+        implementation == "fused"
+        and not output_probs
+        and _kernel_shapes_ok(q, k, mask, allow_float_mask=True)
+    ):
         from msvit_tpu.ops.fused_attention import fused_attention
 
         out = fused_attention(q, k, v, mask=mask, scale=scale, mask_value=mask_value)

@@ -52,7 +52,13 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, kv_len, mask_value):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nq, nk), 2)
     valid = col < kv_len
     if mask_ref is not None:
-        valid = jnp.logical_and(valid, mask_ref[0])
+        m = mask_ref[0]
+        if m.dtype == jnp.bool_:
+            valid = jnp.logical_and(valid, m)
+        else:
+            # additive float mask (the multistate soft penalty,
+            # reference `modeling_msvitencoder.py:146`)
+            s = s + m.astype(jnp.float32)
     s = jnp.where(valid, s, mask_value)
 
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -116,7 +122,8 @@ def _fused_forward(q, k, v, mask, scale, mask_value):
     operands = [qp, kp, vp]
     if mask is not None:
         hm = mask.shape[1]
-        mb = jnp.broadcast_to(mask.astype(jnp.bool_), (b, hm, nq, nk))
+        mdtype = jnp.bool_ if mask.dtype == jnp.bool_ else jnp.float32
+        mb = jnp.broadcast_to(mask.astype(mdtype), (b, hm, nq, nk))
         mb = _pad_to(_pad_to(mb, 2, nq_pad), 3, nk_pad)
         mask_block_h = hb if hm == h else 1
         in_specs.append(
