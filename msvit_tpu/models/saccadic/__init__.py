@@ -18,3 +18,4 @@ from msvit_tpu.models.saccadic.refiner import (  # noqa: F401
     TransformerSaccadicViTPredictor,
 )
 from msvit_tpu.models.saccadic.model import SaccadicViTModel  # noqa: F401
+from msvit_tpu.models.saccadic.batched import batched_saccade_run  # noqa: F401

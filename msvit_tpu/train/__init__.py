@@ -11,3 +11,4 @@ from msvit_tpu.train.checkpoint import (  # noqa: F401
     save_checkpoint,
 )
 from msvit_tpu.train.loop import TrainState, make_optimizer, train_step_fn  # noqa: F401
+from msvit_tpu.train.trainer import Trainer  # noqa: F401

@@ -1,0 +1,96 @@
+"""Generic training driver tying together the jitted step, checkpointing,
+and metrics — the production replacement for the reference's ad-hoc
+sandbox loops (print every N iterations, hard-coded stop, no persistence;
+`sandbox/predictive.py:96-137`)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from msvit_tpu.train.checkpoint import CheckpointManager
+from msvit_tpu.train.loop import train_step_fn
+from msvit_tpu.utils.metrics import MetricsLogger
+
+
+class Trainer:
+    """loss_fn(params, batch, rng) -> (scalar, aux dict of scalars)."""
+
+    def __init__(
+        self,
+        loss_fn: Callable[[Any, Any, jax.Array], Tuple[jnp.ndarray, Any]],
+        optimizer: optax.GradientTransformation,
+        params: Any,
+        checkpoint_dir: Optional[str] = None,
+        save_every: int = 1000,
+        metrics_path: Optional[str] = None,
+        log_every: int = 25,
+        donate: bool = True,
+    ):
+        self.step_fn = train_step_fn(loss_fn, optimizer, donate=donate)
+        self.params = params
+        self.opt_state = optimizer.init(params)
+        self.step = 0
+        self.log_every = log_every
+        self.ckpt = (
+            CheckpointManager(checkpoint_dir, save_every=save_every)
+            if checkpoint_dir
+            else None
+        )
+        self.metrics = MetricsLogger(metrics_path) if metrics_path else None
+
+    def restore(self) -> int:
+        """Resume from the latest checkpoint, if any.  Returns the step."""
+        if self.ckpt is None:
+            return 0
+        state = {"params": self.params, "opt_state": self.opt_state,
+                 "step": jnp.asarray(0)}
+        step, state = self.ckpt.restore_latest(state)
+        if step:
+            self.params = state["params"]
+            self.opt_state = state["opt_state"]
+            self.step = int(state["step"])
+        return self.step
+
+    def fit(
+        self,
+        batches: Iterable[Any],
+        num_steps: int,
+        rng: jax.Array,
+    ) -> float:
+        """Run `num_steps` updates; returns the final loss."""
+        loss = float("nan")
+        for batch in batches:
+            if self.step >= num_steps:
+                break
+            rng, key = jax.random.split(rng)
+            self.params, self.opt_state, loss_dev, aux = self.step_fn(
+                self.params, self.opt_state, batch, key
+            )
+            self.step += 1
+            if self.step % self.log_every == 0 or self.step == num_steps:
+                loss = float(loss_dev)
+                if self.metrics:
+                    scalars = {
+                        k: float(v)
+                        for k, v in (aux or {}).items()
+                        if jnp.ndim(v) == 0
+                    }
+                    self.metrics.log(self.step, loss=loss, **scalars)
+            if self.ckpt:
+                self.ckpt.maybe_save(
+                    self.step,
+                    {
+                        "params": self.params,
+                        "opt_state": self.opt_state,
+                        "step": jnp.asarray(self.step),
+                    },
+                )
+        if self.ckpt:
+            self.ckpt.close()
+        if self.metrics:
+            self.metrics.close()
+        return loss
