@@ -118,16 +118,38 @@ def import_vit_params(
                     "bias": g(lp + "attention.output.dense.bias"),
                 },
             },
-            "mlp": {
-                "fc1": {
-                    "kernel": g(*(lp + a + ".weight" for a in _LAYER_ALIASES["fc1"])).T,
-                    "bias": g(*(lp + a + ".bias" for a in _LAYER_ALIASES["fc1"])),
-                },
-                "fc2": {
-                    "kernel": g(*(lp + a + ".weight" for a in _LAYER_ALIASES["fc2"])).T,
-                    "bias": g(*(lp + a + ".bias" for a in _LAYER_ALIASES["fc2"])),
-                },
-            },
+            "mlp": (
+                {
+                    # DINOv2 SwiGLU naming matches ours directly
+                    "weights_in": {
+                        "kernel": g(lp + "mlp.weights_in.weight").T,
+                        "bias": g(lp + "mlp.weights_in.bias"),
+                    },
+                    "weights_out": {
+                        "kernel": g(lp + "mlp.weights_out.weight").T,
+                        "bias": g(lp + "mlp.weights_out.bias"),
+                    },
+                }
+                if config.use_swiglu_ffn
+                else {
+                    "fc1": {
+                        "kernel": g(
+                            *(lp + a + ".weight" for a in _LAYER_ALIASES["fc1"])
+                        ).T,
+                        "bias": g(
+                            *(lp + a + ".bias" for a in _LAYER_ALIASES["fc1"])
+                        ),
+                    },
+                    "fc2": {
+                        "kernel": g(
+                            *(lp + a + ".weight" for a in _LAYER_ALIASES["fc2"])
+                        ).T,
+                        "bias": g(
+                            *(lp + a + ".bias" for a in _LAYER_ALIASES["fc2"])
+                        ),
+                    },
+                }
+            ),
             "norm1": {
                 "scale": g(*(lp + a + ".weight" for a in _LAYER_ALIASES["norm1"])),
                 "bias": g(*(lp + a + ".bias" for a in _LAYER_ALIASES["norm1"])),
