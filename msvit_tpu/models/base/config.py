@@ -33,6 +33,9 @@ class BaseViTConfig:
     layerscale_value: float = 1.0
     drop_path_rate: float = 0.0
     use_swiglu_ffn: bool = False
+    # > 0 replaces the dense FFN with a top-1 mixture-of-experts
+    # (models/base/moe.py); experts shard over the "model" mesh axis (ep)
+    num_experts: int = 0
 
     # Pointer to a pretrained torch/HF checkpoint to import weights from
     # (reference `configuration_base.py` `pretrained`/`pretrained_cls`);

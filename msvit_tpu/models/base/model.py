@@ -236,10 +236,18 @@ class BaseViTLayer(nn.Module):
             )
         hidden_states = attn_out + hidden_states
 
-        mlp_cls = BaseSwiGLUFFN if cfg.use_swiglu_ffn else BaseMLP
-        mlp_out = mlp_cls(cfg, name="mlp")(
-            ln("norm2")(hidden_states), deterministic=deterministic
-        )
+        if cfg.num_experts > 0:
+            from msvit_tpu.models.base.moe import MoEFFN
+
+            mlp_out, moe_aux = MoEFFN(
+                cfg, num_experts=cfg.num_experts, name="mlp"
+            )(ln("norm2")(hidden_states), deterministic=deterministic)
+            self.sow("intermediates", "moe_aux_loss", moe_aux)
+        else:
+            mlp_cls = BaseSwiGLUFFN if cfg.use_swiglu_ffn else BaseMLP
+            mlp_out = mlp_cls(cfg, name="mlp")(
+                ln("norm2")(hidden_states), deterministic=deterministic
+            )
         mlp_out = mlp_out * ls2.astype(mlp_out.dtype)
         if cfg.drop_path_rate > 0.0 and not deterministic:
             mlp_out = _drop_path(

@@ -40,6 +40,11 @@ def partition_spec_for_params(path: Tuple[str, ...], leaf: Any) -> P:
         return P("model")
     if parent in ("fc2", "weights_out") and name == "kernel":  # [F, D] — row
         return P("model", None)
+    # expert parallelism: MoE expert tensors shard their expert axis
+    if name in ("experts_in", "experts_out"):  # [E, D, F] / [E, F, D]
+        return P("model", None, None)
+    if name in ("experts_in_bias", "experts_out_bias"):  # [E, F] / [E, D]
+        return P("model", None)
     return P()  # replicated
 
 
