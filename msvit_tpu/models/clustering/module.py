@@ -95,11 +95,10 @@ def _spectral_single(
     n_children = jnp.zeros((c_max,), jnp.int32)
     cum = jnp.zeros((), jnp.int32)
 
-    for p in range(c_max):
-        key, k_ncut, k_km = jax.random.split(key, 3)
-        member = flat_parent == p
-        has = jnp.any(member)
+    n_tokens = flat_x.shape[0]
 
+    def cluster_parent(args):
+        member, k_ncut, k_km, cum = args
         vecs, vals = ncut(
             flat_x,
             num_eig=config.ncut_dim,
@@ -126,9 +125,24 @@ def _spectral_single(
             active=col_active,
             mask=member,
         )
+        return labels, k_p
+
+    def skip_parent(args):
+        return jnp.zeros((n_tokens,), jnp.int32), jnp.asarray(0, jnp.int32)
+
+    for p in range(c_max):
+        key, k_ncut, k_km = jax.random.split(key, 3)
+        member = flat_parent == p
+        has = jnp.any(member)
+
+        # empty parent slots skip the NCut eigensolve + KMeans entirely
+        # (most of the padded cluster axis is empty early in the network)
+        labels, k_p = jax.lax.cond(
+            has, cluster_parent, skip_parent, (member, k_ncut, k_km, cum)
+        )
         result = jnp.where(member, cum + labels, result)
-        n_children = n_children.at[p].set(jnp.where(has, k_p, 0))
-        cum = cum + jnp.where(has, k_p, 0)
+        n_children = n_children.at[p].set(k_p)
+        cum = cum + k_p
 
     return jnp.clip(result, 0, c_max - 1), n_children
 
