@@ -8,3 +8,8 @@ from msvit_tpu.compat.hf_import import (  # noqa: F401
     import_vit_params,
     load_torch_state_dict,
 )
+from msvit_tpu.compat.family_import import (  # noqa: F401
+    import_into_multistate,
+    import_into_predictive,
+    import_into_subsample,
+)
