@@ -17,10 +17,13 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "preprocess.cpp")
-_LIB = os.path.join(_DIR, "libmsvit_preprocess.so")
+# built artifact lives in a non-package subdir so module-walking tools
+# (pkgutil, pytest collection) never mistake it for a Python extension
+_LIB = os.path.join(_DIR, "_build", "libmsvit_preprocess.so")
 
 
 def _build() -> None:
+    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
     cmd = [
         "g++",
         "-O3",
