@@ -157,15 +157,37 @@ class PredictiveViTPatchEmbeddings(nn.Module):
         pts = jnp.stack([g0, g1], axis=-1)  # [P,P,2]
         return pts * diag[..., None, None, :] + t[..., None, None, :]
 
+    def _axis_coords(self, patch_config: jnp.ndarray):
+        """Per-axis sample coordinates (ys, xs) [..., P] — the glimpse
+        lattice is axis-separable (translation + diagonal scaling only)."""
+        cfg = self.config
+        p = cfg.patch_size
+        bsz = patch_config.shape[:-1]
+        if cfg.patch_config == "translation":
+            diag = jnp.full(bsz + (2,), cfg.default_patch_scale)
+        elif cfg.patch_config == "scaling":
+            diag = jnp.exp(patch_config[..., 2:3]) * jnp.ones(bsz + (2,))
+        elif cfg.patch_config == "non-uniform-scaling":
+            diag = jnp.exp(jnp.minimum(patch_config[..., 2:4], 0.0))
+        else:
+            raise ValueError(cfg.patch_config)
+        t = (1.0 - diag) * patch_config[..., :2]
+        lin = jnp.linspace(-1.0, 1.0, p)
+        ys = lin * diag[..., 0:1] + t[..., 0:1]
+        xs = lin * diag[..., 1:2] + t[..., 1:2]
+        return ys, xs
+
     def position_to_patch(
         self, pixel_values: jnp.ndarray, patch_config: jnp.ndarray
     ) -> jnp.ndarray:
-        """Bicubic border-padded glimpse extraction
-        (reference `:274-292`).  pixel_values [B,H,W,C] (NHWC);
-        patch_config [B, N..., dof] → patches [B, N..., P, P, C]."""
-        grid_yx = self.grid_sample_points(patch_config)  # [B,N...,P,P,2]
-        grid_xy = jnp.flip(grid_yx, axis=-1)  # reference flips before torch
-        return grid_sample(pixel_values, grid_xy, "bicubic", "border")
+        """Bicubic border-padded glimpse extraction (reference `:274-292`)
+        via the separable matmul sampler (axis-aligned lattices — see
+        ops/grid_sample.py).  pixel_values [B,H,W,C]; patch_config
+        [B, N..., dof] → patches [B, N..., P, P, C]."""
+        ys, xs = self._axis_coords(patch_config)
+        from msvit_tpu.ops.grid_sample import grid_sample_separable
+
+        return grid_sample_separable(pixel_values, ys, xs, "bicubic", "border")
 
     def patch_to_latent(self, patches: jnp.ndarray) -> jnp.ndarray:
         """[..., P, P, C] → [..., D] (reference `:223-229`)."""

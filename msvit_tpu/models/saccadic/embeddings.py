@@ -42,6 +42,23 @@ class SaccadicViTPatchEmbeddings(nn.Module):
         pts = jnp.stack([g0, g1], axis=-1)  # [P, P, 2]
         return pts * diag[..., None, None, :] + t[..., None, None, :]
 
+    def axis_coords(self, patch_config: jnp.ndarray):
+        """(ys, xs) [..., P] — glimpses are axis-separable lattices."""
+        cfg = self.config
+        p = cfg.patch_size
+        bsz = patch_config.shape[:-1]
+        if cfg.patch_config == "translation":
+            diag = jnp.ones(bsz + (2,))
+        elif cfg.patch_config == "scaling":
+            diag = jnp.exp(patch_config[..., 2:3]) * jnp.ones(bsz + (2,))
+        elif cfg.patch_config == "non-uniform-scaling":
+            diag = jnp.exp(patch_config[..., 2:4])
+        else:
+            raise ValueError(cfg.patch_config)
+        t = patch_config[..., :2]
+        lin = jnp.linspace(-1.0, 1.0, p)
+        return lin * diag[..., 0:1] + t[..., 0:1], lin * diag[..., 1:2] + t[..., 1:2]
+
     @nn.compact
     def __call__(
         self,
@@ -49,9 +66,10 @@ class SaccadicViTPatchEmbeddings(nn.Module):
         patch_config: jnp.ndarray,  # [B, ...glimpse dims..., dof]
     ) -> jnp.ndarray:  # [B, ..., D]
         cfg = self.config
-        grid_yx = self.grid_points(patch_config)
-        grid_xy = jnp.flip(grid_yx, axis=-1)
-        patches = grid_sample(pixel_values, grid_xy, "bicubic", "zeros")
+        from msvit_tpu.ops.grid_sample import grid_sample_separable
+
+        ys, xs = self.axis_coords(patch_config)
+        patches = grid_sample_separable(pixel_values, ys, xs, "bicubic", "zeros")
         lead = patches.shape[:-3]
         flat = patches.reshape(lead + (-1,))
         return nn.Dense(

@@ -135,21 +135,23 @@ class SubsampleViTEmbeddings(nn.Module):
         b = pixel_values.shape[0]
         s = corners.shape[0]
 
-        # P×P sample grid per box (reference patch_points + affine,
-        # `modeling_ssvit.py:80-84,100-103`)
+        # P×P sample lattice per box (reference patch_points + affine,
+        # `modeling_ssvit.py:80-84,100-103`) — boxes are axis-aligned, so
+        # sampling runs through the separable matmul sampler
+        from msvit_tpu.ops.grid_sample import grid_sample_separable
+
         c = 1.0 / p
         lin = jnp.linspace(-1.0 + c, 1.0 - c, p)
-        pts = jnp.stack(jnp.meshgrid(lin, lin, indexing="ij"), axis=-1)  # [P,P,2]
         center = (corners[:, 0] + corners[:, 1]) / 2.0  # [S,2]
         half = (corners[:, 1] - corners[:, 0]) / 2.0  # [S,2]
-        grid_yx = center[:, None, None, :] + pts[None] * half[:, None, None, :]
-        # our grid_sample takes torch (x, y) order — same flip as the
-        # reference applies before calling torch (`modeling_ssvit.py:149`)
-        grid_xy = jnp.flip(grid_yx, axis=-1)  # [S,P,P,2]
-        grid_b = jnp.broadcast_to(grid_xy[None], (b, s, p, p, 2))
-
-        patches = grid_sample(
-            pixel_values, grid_b, mode="bicubic", padding_mode="zeros"
+        ys = center[:, 0:1] + lin[None] * half[:, 0:1]  # [S,P]
+        xs = center[:, 1:2] + lin[None] * half[:, 1:2]
+        patches = grid_sample_separable(
+            pixel_values,
+            jnp.broadcast_to(ys[None], (b, s, p)),
+            jnp.broadcast_to(xs[None], (b, s, p)),
+            mode="bicubic",
+            padding_mode="zeros",
         )  # [B,S,P,P,C]
 
         x = patches.reshape(b, s, p * p * pixel_values.shape[-1])

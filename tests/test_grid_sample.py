@@ -50,6 +50,47 @@ def test_arbitrary_sample_shape():
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
 
 
+@pytest.mark.parametrize("mode", ["bicubic", "bilinear"])
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_separable_matches_general_on_axis_aligned_grids(mode, padding_mode):
+    """grid_sample_separable (two matmuls) ≡ grid_sample (gather) whenever
+    the grid is an outer product of per-axis coordinates — the only grids
+    this framework ever builds."""
+    from msvit_tpu.ops.grid_sample import grid_sample_separable
+
+    rng = np.random.default_rng(3)
+    b, h, w, c = 2, 19, 23, 3
+    n, py, px = 4, 5, 6
+    img = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    ys = jnp.asarray(rng.uniform(-1.4, 1.4, (b, n, py)), jnp.float32)
+    xs = jnp.asarray(rng.uniform(-1.4, 1.4, (b, n, px)), jnp.float32)
+
+    got = grid_sample_separable(img, ys, xs, mode, padding_mode)
+    # general path on the outer-product grid, (x, y) order
+    grid = jnp.stack(
+        jnp.broadcast_arrays(xs[:, :, None, :], ys[:, :, :, None]), axis=-1
+    )  # [B,N,Py,Px,2] with (x, y)
+    want = grid_sample(img, grid, mode, padding_mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_separable_gradients_flow():
+    from msvit_tpu.ops.grid_sample import grid_sample_separable
+
+    img = jnp.asarray(np.random.default_rng(0).standard_normal((1, 9, 9, 2)),
+                      jnp.float32)
+    ys = jnp.asarray([[[-0.5, 0.0, 0.5]]])
+    xs = jnp.asarray([[[-0.3, 0.2, 0.7]]])
+
+    def loss(img_, ys_, xs_):
+        return jnp.sum(grid_sample_separable(img_, ys_, xs_) ** 2)
+
+    gi, gy, gx = jax.grad(loss, argnums=(0, 1, 2))(img, ys, xs)
+    assert float(jnp.abs(gi).sum()) > 0
+    assert float(jnp.abs(gy).sum()) > 0
+    assert float(jnp.abs(gx).sum()) > 0
+
+
 def test_gradients_wrt_image_and_grid():
     """Losses backprop into sampled positions (reference
     `modeling_training.py:130-146`) — grads must exist and match torch."""
