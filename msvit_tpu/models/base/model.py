@@ -136,6 +136,11 @@ class BaseMLP(nn.Module):
         )(x.astype(compute))
         if cfg.hidden_act == "gelu":
             x = jax.nn.gelu(x, approximate=False)
+        elif cfg.hidden_act == "gelu_tanh":
+            # tanh-approx GELU: ~10x faster than erf GELU on v5e (measured
+            # 677 vs 68 G elem/s at the fc1 shape — benchmarks/RESULTS.md);
+            # serving configs opt in, parity configs keep exact erf.
+            x = jax.nn.gelu(x, approximate=True)
         else:
             x = getattr(jax.nn, cfg.hidden_act)(x)
         x = nn.Dense(

@@ -132,7 +132,11 @@ def quantized_vit_apply(
 
         y = _layer_norm(x, lp["norm2"], eps)
         y = mm(f"fc1_{i}", y, lp["fc1"])
-        y = jax.nn.gelu(y, approximate=False)
+        # tanh-approx GELU: the erf GELU costs 4.5 ms per fc1 pass on v5e
+        # (~54 ms/batch over 12 layers — benchmarks/RESULTS.md); the tanh
+        # approximation is 10x faster and within int8 quantization noise
+        # (max |Δ| ≈ 3e-3 near x≈±2; feature cosine tested ≥ 0.999).
+        y = jax.nn.gelu(y, approximate=True)
         y = mm(f"fc2_{i}", y, lp["fc2"])
         x = x + y * lp["layer_scale2"].astype(y.dtype)
 
