@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from msvit_tpu.models.base.config import BaseViTConfig
 from msvit_tpu.models.base.vit import interpolate_pos_embed
 from msvit_tpu.ops.attention import multi_head_attention
+from msvit_tpu.ops.packed_attention import packed_attention
 from msvit_tpu.ops.quant import QuantizedTensor, int8_matmul, quantize_weight
 
 
@@ -117,16 +118,23 @@ def quantized_vit_apply(
         pos = interpolate_pos_embed(pos, gh * gw, (gh, gw), has_cls=True)
     x = x + pos.astype(x.dtype)
 
+    on_tpu = jax.devices()[0].platform == "tpu"
     n = x.shape[1]
     for i in range(cfg.num_hidden_layers):
         lp = qparams["encoder"][f"layer_{i}"]
         y = _layer_norm(x, lp["norm1"], eps)
         qkv = mm(f"qkv_{i}", y, lp["qkv"])  # [B,N,3HD]
-        qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
-        out, _ = multi_head_attention(
-            qkv[0], qkv[1], qkv[2], implementation="xla"
-        )
-        out = jnp.swapaxes(out, 1, 2).reshape(b, n, d)
+        if on_tpu:
+            # packed-layout Pallas attention: consumes the GEMM output
+            # directly, no [3,B,H,N,dh] HBM transposes, scores stay in
+            # VMEM (3.7 vs 8.3 ms/layer at bs512 — benchmarks/RESULTS.md)
+            out = packed_attention(qkv, h)
+        else:
+            t = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+            out, _ = multi_head_attention(
+                t[0], t[1], t[2], implementation="xla"
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(b, n, d)
         out = mm(f"proj_{i}", out, lp["proj"])
         x = x + out * lp["layer_scale1"].astype(out.dtype)
 

@@ -1,0 +1,187 @@
+"""Packed-layout fused attention (Pallas, TPU).
+
+Multi-head attention that consumes the QKV projection output in its
+natural GEMM layout ``[B, N, 3*D]`` and emits ``[B, N, D]`` ready for the
+output projection — the layout the reference's SDPA path destroys with
+``[3,B,H,N,dh]`` transposes (`modeling_base.py:60-66`).
+
+Why this shape: on v5e the conventional ``[B,H,N,64]`` attention operands
+have a 64-element minor dim, which cripples HBM DMA (~150 GB/s effective,
+measured: a pure-copy Pallas kernel over those operands costs 4.6 ms at
+ViT-B/224 bs512 — the whole kernel budget).  Fat contiguous ``[N, 3D]``
+rows restore full bandwidth, the two HBM transposes disappear, and the
+[B,H,N,N] scores never leave VMEM.  Heads are split by lane-slicing
+inside the kernel.  Measured 3.7 ms/layer vs 8.3 ms for the XLA path at
+[512, 197, 2304] (benchmarks/RESULTS.md).
+
+Semantics match `ops.attention.xla_attention` restricted to self-attention
+(Nk == Nq): bool masks mean "True = may attend", float masks are additive
+(reference `modeling_base.py:89-93`).  Softmax statistics in f32.
+
+Backward is an XLA recompute (like ops/fused_attention.py) — this kernel
+targets the serving path; training-time memory is handled by remat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msvit_tpu.ops.attention import DEFAULT_MASK_VALUE, xla_attention
+
+
+def _kernel(qkv_ref, o_ref, *, num_heads, scale, mask_value):
+    _kernel_masked(qkv_ref, None, o_ref, num_heads=num_heads, scale=scale,
+                   mask_value=mask_value)
+
+
+def _kernel_masked(qkv_ref, mask_ref, o_ref, *, num_heads, scale, mask_value):
+    tb = qkv_ref.shape[0]
+    d3 = qkv_ref.shape[-1]
+    d = d3 // 3
+    dh = d // num_heads
+    for e in range(tb):
+        x = qkv_ref[e]  # [N, 3D]
+        outs = []
+        for h in range(num_heads):
+            q = x[:, h * dh : (h + 1) * dh]
+            k = x[:, d + h * dh : d + (h + 1) * dh]
+            v = x[:, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask_ref is not None:
+                hm = mask_ref.shape[1]
+                m = mask_ref[e, h if hm > 1 else 0]
+                if m.dtype == jnp.bool_:
+                    s = jnp.where(m, s, mask_value)
+                else:
+                    s = s + m.astype(jnp.float32)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # defer the 1/l normalization to the [N, dh] output (3x fewer
+            # divisions than normalizing the [N, N] probs)
+            l = jnp.where(l == 0.0, 1.0, l)
+            outs.append((o / l).astype(o_ref.dtype))
+        o_ref[e] = jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "mask_value", "block_b")
+)
+def _packed_forward(qkv, mask, num_heads, scale, mask_value, block_b=1):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    while b % block_b:
+        block_b //= 2
+    operands = [qkv]
+    in_specs = [
+        pl.BlockSpec((block_b, n, d3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if mask is not None:
+        hm = mask.shape[1]
+        mdtype = jnp.bool_ if mask.dtype == jnp.bool_ else jnp.float32
+        mb = jnp.broadcast_to(mask.astype(mdtype), (b, hm, n, n))
+        in_specs.append(
+            pl.BlockSpec((block_b, hm, n, n), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(mb)
+        kernel = functools.partial(
+            _kernel_masked, num_heads=num_heads, scale=scale,
+            mask_value=mask_value,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel, num_heads=num_heads, scale=scale, mask_value=mask_value
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(b // block_b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * (d // num_heads),
+            bytes_accessed=qkv.size * 2 + b * n * d * 2,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _packed(qkv, mask, num_heads, scale, mask_value):
+    return _packed_forward(qkv, mask, num_heads, scale, mask_value)
+
+
+def _xla_reference(qkv, mask, num_heads, scale, mask_value):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    t = qkv.reshape(b, n, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    out, _ = xla_attention(t[0], t[1], t[2], mask=mask, scale=scale,
+                           mask_value=mask_value)
+    return jnp.swapaxes(out, 1, 2).reshape(b, n, d)
+
+
+def _packed_fwd(qkv, mask, num_heads, scale, mask_value):
+    return _packed(qkv, mask, num_heads, scale, mask_value), (qkv, mask)
+
+
+def _packed_bwd(num_heads, scale, mask_value, res, g):
+    qkv, mask = res
+
+    def ref(qkv_):
+        return _xla_reference(qkv_, mask, num_heads, scale, mask_value)
+
+    _, vjp = jax.vjp(ref, qkv)
+    (dqkv,) = vjp(g)
+    return dqkv, None
+
+
+_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def packed_attention(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    mask_value: float = DEFAULT_MASK_VALUE,
+) -> jnp.ndarray:
+    """Self-attention over packed QKV.
+
+    Args:
+      qkv: [B, N, 3*D] — the fused QKV projection output, laid out as
+        [q(H heads x dh) | k(...) | v(...)] along the last dim.
+      num_heads: H; head_dim = D // H.
+      mask: optional [B, 1|H, N, N]; bool (True = attend) or additive float.
+      scale: defaults to 1/sqrt(head_dim).
+
+    Returns: [B, N, D] attention output (pre-projection), same dtype as qkv.
+    """
+    b, n, d3 = qkv.shape
+    if d3 % 3:
+        raise ValueError(f"last dim {d3} not 3*D")
+    d = d3 // 3
+    if d % num_heads:
+        raise ValueError(f"D {d} not divisible by num_heads {num_heads}")
+    if scale is None:
+        scale = 1.0 / (d // num_heads) ** 0.5
+    if mask is not None and mask.ndim != 4:
+        raise ValueError(f"mask must be [B, 1|H, N, N]; got {mask.shape}")
+    return _packed(qkv, mask, num_heads, float(scale), float(mask_value))
