@@ -23,8 +23,16 @@ import jax.numpy as jnp
 from msvit_tpu.models.base.config import BaseViTConfig
 from msvit_tpu.models.base.vit import interpolate_pos_embed
 from msvit_tpu.ops.attention import multi_head_attention
-from msvit_tpu.ops.packed_attention import packed_attention
-from msvit_tpu.ops.quant import QuantizedTensor, int8_matmul, quantize_weight
+from msvit_tpu.ops.packed_attention import (
+    packed_attention,
+    packed_attention_int8,
+)
+from msvit_tpu.ops.quant import (
+    QuantizedTensor,
+    int8_matmul,
+    int8_matmul_prequant,
+    quantize_weight,
+)
 
 
 def quantize_vit_params(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -36,6 +44,17 @@ def quantize_vit_params(params: Dict[str, Any]) -> Dict[str, Any]:
         "w": quantize_weight(jnp.asarray(params["embeddings"]["patch_projection"]["kernel"])),
         "bias": jnp.asarray(params["embeddings"]["patch_projection"]["bias"]),
     }
+    def _fold_ls(w: QuantizedTensor, bias, ls) -> Dict[str, Any]:
+        # DINOv2 layer scale is a per-channel multiply on the residual
+        # branch output — exactly the shape of the dequant scale, so it
+        # folds into the epilogue for free:
+        #   (acc*s + b) * ls == acc*(s*ls) + b*ls
+        ls = jnp.asarray(ls, jnp.float32)
+        return {
+            "w": QuantizedTensor(w.values, w.scale * ls[None, :]),
+            "bias": bias.astype(jnp.float32) * ls,
+        }
+
     for name, layer in params["encoder"].items():
         attn = layer["attention"]
         d = attn["qkv_kernel"].shape[0]
@@ -48,22 +67,22 @@ def quantize_vit_params(params: Dict[str, Any]) -> Dict[str, Any]:
                 if "qkv_bias" in attn
                 else None,
             },
-            "proj": {
-                "w": quantize_weight(jnp.asarray(attn["output_dense"]["kernel"])),
-                "bias": jnp.asarray(attn["output_dense"]["bias"]),
-            },
+            "proj": _fold_ls(
+                quantize_weight(jnp.asarray(attn["output_dense"]["kernel"])),
+                jnp.asarray(attn["output_dense"]["bias"]),
+                layer["layer_scale1"],
+            ),
             "fc1": {
                 "w": quantize_weight(jnp.asarray(layer["mlp"]["fc1"]["kernel"])),
                 "bias": jnp.asarray(layer["mlp"]["fc1"]["bias"]),
             },
-            "fc2": {
-                "w": quantize_weight(jnp.asarray(layer["mlp"]["fc2"]["kernel"])),
-                "bias": jnp.asarray(layer["mlp"]["fc2"]["bias"]),
-            },
+            "fc2": _fold_ls(
+                quantize_weight(jnp.asarray(layer["mlp"]["fc2"]["kernel"])),
+                jnp.asarray(layer["mlp"]["fc2"]["bias"]),
+                layer["layer_scale2"],
+            ),
             "norm1": layer["norm1"],
             "norm2": layer["norm2"],
-            "layer_scale1": jnp.asarray(layer["layer_scale1"]),
-            "layer_scale2": jnp.asarray(layer["layer_scale2"]),
         }
         q["encoder"][name] = ql
     q["layernorm"] = params["layernorm"]
@@ -119,24 +138,57 @@ def quantized_vit_apply(
     x = x + pos.astype(x.dtype)
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    # fully-int8 attention data path needs calibrated per-section scales
+    int8_attn = (
+        on_tpu
+        and act_scales is not None
+        and "attn_0" in act_scales
+        and _record_scales is None
+    )
     n = x.shape[1]
     for i in range(cfg.num_hidden_layers):
         lp = qparams["encoder"][f"layer_{i}"]
         y = _layer_norm(x, lp["norm1"], eps)
-        qkv = mm(f"qkv_{i}", y, lp["qkv"])  # [B,N,3HD]
-        if on_tpu:
-            # packed-layout Pallas attention: consumes the GEMM output
-            # directly, no [3,B,H,N,dh] HBM transposes, scores stay in
-            # VMEM (3.7 vs 8.3 ms/layer at bs512 — benchmarks/RESULTS.md)
-            out = packed_attention(qkv, h)
-        else:
-            t = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
-            out, _ = multi_head_attention(
-                t[0], t[1], t[2], implementation="xla"
+        if int8_attn:
+            # qkv GEMM emits int8 (per-section requant in the epilogue),
+            # the Pallas kernel runs both attention matmuls in int8 and
+            # emits int8 at the proj GEMM's calibrated input scale: every
+            # HBM tensor on the attention path is half-width.
+            sec = act_scales[f"attn_{i}"]  # [3]
+            s_proj = act_scales[f"proj_{i}"]
+            inv_cols = jnp.repeat(1.0 / sec, d)  # [3D]
+            s_in = act_scales.get(f"qkv_{i}")
+            qkv_q = int8_matmul(
+                y, lp["qkv"]["w"], lp["qkv"]["bias"],
+                act_scale=s_in, out_inv_scale=inv_cols,
             )
-            out = jnp.swapaxes(out, 1, 2).reshape(b, n, d)
-        out = mm(f"proj_{i}", out, lp["proj"])
-        x = x + out * lp["layer_scale1"].astype(out.dtype)
+            out_q = packed_attention_int8(
+                qkv_q, sec, h, out_inv_scale=1.0 / s_proj, int8_out=True
+            )
+            out = int8_matmul_prequant(
+                out_q, s_proj, lp["proj"]["w"], lp["proj"]["bias"]
+            )
+        else:
+            qkv = mm(f"qkv_{i}", y, lp["qkv"])  # [B,N,3HD]
+            if _record_scales is not None:
+                ys = jnp.max(
+                    jnp.abs(qkv.astype(jnp.float32).reshape(-1, 3, d)),
+                    axis=(0,),
+                )
+                _record_scales[f"attn_{i}"] = jnp.max(ys, axis=-1) / 127.0
+            if on_tpu:
+                # packed-layout Pallas attention: consumes the GEMM output
+                # directly, no [3,B,H,N,dh] HBM transposes, scores stay in
+                # VMEM (3.7 vs 8.3 ms/layer at bs512 — benchmarks/RESULTS.md)
+                out = packed_attention(qkv, h)
+            else:
+                t = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+                out, _ = multi_head_attention(
+                    t[0], t[1], t[2], implementation="xla"
+                )
+                out = jnp.swapaxes(out, 1, 2).reshape(b, n, d)
+            out = mm(f"proj_{i}", out, lp["proj"])  # layer_scale1 folded
+        x = x + out
 
         y = _layer_norm(x, lp["norm2"], eps)
         y = mm(f"fc1_{i}", y, lp["fc1"])
@@ -145,8 +197,8 @@ def quantized_vit_apply(
         # approximation is 10x faster and within int8 quantization noise
         # (max |Δ| ≈ 3e-3 near x≈±2; feature cosine tested ≥ 0.999).
         y = jax.nn.gelu(y, approximate=True)
-        y = mm(f"fc2_{i}", y, lp["fc2"])
-        x = x + y * lp["layer_scale2"].astype(y.dtype)
+        y = mm(f"fc2_{i}", y, lp["fc2"])  # layer_scale2 folded in
+        x = x + y
 
     return _layer_norm(x, qparams["layernorm"], eps)
 

@@ -156,6 +156,111 @@ def _packed_bwd(num_heads, scale, mask_value, res, g):
 _packed.defvjp(_packed_fwd, _packed_bwd)
 
 
+def _kernel_int8(qkv_ref, sc_ref, o_ref, *, num_heads, scale):
+    """int8-in / int8-or-bf16-out packed attention.
+
+    qkv_ref: [tb, N, 3D] int8 (per-section quantized GEMM output).
+    sc_ref:  SMEM [1, 4] f32 = [s_q, s_k, s_v, inv_s_out];
+             inv_s_out == 0.0 means emit bf16 instead of int8.
+    """
+    tb = qkv_ref.shape[0]
+    d3 = qkv_ref.shape[-1]
+    d = d3 // 3
+    dh = d // num_heads
+    s_q = sc_ref[0, 0]
+    s_k = sc_ref[0, 1]
+    s_v = sc_ref[0, 2]
+    inv_s_out = sc_ref[0, 3]
+    int8_out = o_ref.dtype == jnp.int8
+    for e in range(tb):
+        x = qkv_ref[e]
+        outs = []
+        for h in range(num_heads):
+            q = x[:, h * dh : (h + 1) * dh]
+            k = x[:, d + h * dh : d + (h + 1) * dh]
+            v = x[:, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (scale * s_q * s_k)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            # probs are in [0,1]: fixed 1/127 quantization scale
+            pq = jnp.clip(jnp.round(p * 127.0), 0.0, 127.0).astype(jnp.int8)
+            o = jax.lax.dot_general(
+                pq, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            l = jnp.where(l == 0.0, 1.0, l)
+            o = o * (s_v / 127.0) / l
+            if int8_out:
+                outs.append(
+                    jnp.clip(jnp.round(o * inv_s_out), -127, 127).astype(
+                        jnp.int8
+                    )
+                )
+            else:
+                outs.append(o.astype(jnp.bfloat16))
+        o_ref[e] = jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "int8_out", "block_b")
+)
+def packed_attention_int8(
+    qkv_q: jnp.ndarray,  # [B, N, 3D] int8
+    section_scales: jnp.ndarray,  # [3] f32 dequant scales for q|k|v
+    num_heads: int,
+    out_inv_scale: Optional[jnp.ndarray] = None,  # scalar f32; None -> bf16
+    scale: Optional[float] = None,
+    int8_out: bool = False,
+    block_b: int = 1,
+):
+    """Fully-int8 packed self-attention for the serving path.
+
+    The QKV GEMM quantizes its output per section (q/k/v) with calibrated
+    scales; this kernel runs both attention matmuls on the MXU in int8
+    (probs quantized at a fixed 1/127 — they live in [0,1]), and can emit
+    int8 ready for the output projection (``int8_out`` with
+    ``out_inv_scale``), halving every HBM tensor on the attention path.
+    Inference-only (no VJP) — training uses `packed_attention`.
+    """
+    b, n, d3 = qkv_q.shape
+    d = d3 // 3
+    if scale is None:
+        scale = 1.0 / (d // num_heads) ** 0.5
+    while b % block_b:
+        block_b //= 2
+    inv = (
+        jnp.zeros((), jnp.float32)
+        if out_inv_scale is None
+        else jnp.asarray(out_inv_scale, jnp.float32)
+    )
+    sc = jnp.concatenate(
+        [jnp.asarray(section_scales, jnp.float32).reshape(3), inv.reshape(1)]
+    ).reshape(1, 4)
+    out_dtype = jnp.int8 if int8_out else jnp.bfloat16
+    return pl.pallas_call(
+        functools.partial(_kernel_int8, num_heads=num_heads, scale=float(scale)),
+        grid=(b // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, n, d3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * (d // num_heads),
+            bytes_accessed=qkv_q.size + b * n * d,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(qkv_q, sc)
+
+
 def packed_attention(
     qkv: jnp.ndarray,
     num_heads: int,

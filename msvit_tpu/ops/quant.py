@@ -53,17 +53,42 @@ def int8_matmul(
     bias: jnp.ndarray = None,
     out_dtype=jnp.bfloat16,
     act_scale: jnp.ndarray = None,
+    out_inv_scale: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """int8 GEMM with fused dequant epilogue; activation scale either
-    dynamic (absmax) or calibrated (`act_scale`)."""
+    dynamic (absmax) or calibrated (`act_scale`).  With `out_inv_scale`
+    (broadcastable to the output's last dim) the epilogue requantizes and
+    the output tensor is int8 — half the HBM write, and the consumer skips
+    its own quantize pass."""
     xq, sx = quantize_activation(x, act_scale)
+    return _int8_matmul_core(xq, sx, w, bias, out_dtype, out_inv_scale)
+
+
+def int8_matmul_prequant(
+    xq: jnp.ndarray,  # [..., in] int8 (already quantized by the producer)
+    sx: jnp.ndarray,  # scalar f32 dequant scale of xq
+    w: QuantizedTensor,
+    bias: jnp.ndarray = None,
+    out_dtype=jnp.bfloat16,
+    out_inv_scale: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """int8 GEMM whose input was quantized upstream (e.g. emitted int8 by
+    the packed attention kernel or a previous matmul's epilogue)."""
+    return _int8_matmul_core(xq, sx, w, bias, out_dtype, out_inv_scale)
+
+
+def _int8_matmul_core(xq, sx, w, bias, out_dtype, out_inv_scale):
     acc = jax.lax.dot_general(
         xq,
         w.values,
-        (((x.ndim - 1,), (0,)), ((), ())),
+        (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     out = acc.astype(jnp.float32) * (sx * w.scale)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
+    if out_inv_scale is not None:
+        return jnp.clip(
+            jnp.round(out * out_inv_scale), -127, 127
+        ).astype(jnp.int8)
     return out.astype(out_dtype)

@@ -68,3 +68,33 @@ def test_packed_gradients_match():
     g2 = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_packed_int8_close_to_bf16():
+    from msvit_tpu.ops.packed_attention import packed_attention_int8
+
+    qkv = _qkv(7) * 0.5
+    want = np.asarray(_reference(qkv), dtype=np.float32)
+
+    sec = jnp.max(jnp.abs(qkv.reshape(-1, 3, D)), axis=(0, 2)) / 127.0
+    qkv_q = jnp.clip(
+        jnp.round(qkv / jnp.repeat(sec, D)), -127, 127
+    ).astype(jnp.int8)
+    got = np.asarray(
+        packed_attention_int8(qkv_q, sec, H), dtype=np.float32
+    )
+    cos = np.sum(got * want) / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.995, cos
+
+    # int8-out flavor round-trips through the output scale
+    s_out = np.abs(want).max() / 127.0
+    got_q = np.asarray(
+        packed_attention_int8(
+            qkv_q, sec, H, out_inv_scale=1.0 / s_out, int8_out=True
+        ),
+        dtype=np.float32,
+    ) * s_out
+    cos_q = np.sum(got_q * want) / (
+        np.linalg.norm(got_q) * np.linalg.norm(want)
+    )
+    assert cos_q > 0.99, cos_q
