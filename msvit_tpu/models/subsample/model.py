@@ -252,29 +252,52 @@ class SubsampleViTModel(nn.Module):
 
         cls_b = jnp.broadcast_to(cls_token, (b, 1, d)).astype(compute)
 
+        bias_vec = (
+            (-log_g) * depth.astype(jnp.float32)
+            if weighted
+            else jnp.zeros((cap,), jnp.float32)
+        )
+
         for it in range(cfg.max_depth + 1):
-            depth_bias = (
-                (-log_g) * depth.astype(jnp.float32)[None] if weighted else 0.0
-            )
-            if cfg.nesting_mode in ("open", "lock") or it == 0:
+            if cfg.nesting_mode in ("open", "lock"):
                 # encode [CLS ++ all slots] under a validity mask
                 # (reference `modeling_ssvit.py:414-427`)
-                amask = jnp.where(valid, 0.0, NEG_INF) + depth_bias
+                amask = jnp.where(valid, 0.0, NEG_INF) + bias_vec[None]
                 amask = jnp.concatenate(
                     [jnp.zeros((b, 1)), amask], axis=-1
                 )  # [B, 1+cap]
                 hidden = jnp.concatenate([cls_b, input_state], axis=1)
                 ctx = None
             elif cfg.nesting_mode == "freeze":
-                # locked tokens enter only as per-layer cached context
-                # (reference `modeling_ssvit.py:432-459`)
-                live_cols = jnp.where(valid & ~lock, 0.0, NEG_INF) + depth_bias
-                ctx_cols = jnp.where(valid & lock, 0.0, NEG_INF) + depth_bias
-                amask = jnp.concatenate(
-                    [jnp.zeros((b, 1)), live_cols, ctx_cols], axis=-1
-                )  # [B, 1+2·cap]
-                hidden = jnp.concatenate([cls_b, input_state], axis=1)
-                ctx = [cached[:, :, layer, :] for layer in range(n_layers)]
+                # Locked tokens enter only as per-layer cached context
+                # (reference `modeling_ssvit.py:432-459`).  Unlike the
+                # reference's data-dependent topk compaction (`:405-412`),
+                # the live/context split is STATIC here: at iteration `it`
+                # the only slots that can be live (valid & unlocked) are
+                # the depth-`it` level — children are activated exactly one
+                # level per iteration, and every previously-live slot was
+                # either locked (~split) or invalidated (split).  So
+                # queries are the level-`it` slice and context is the
+                # prefix of shallower levels — a fraction of the
+                # full-capacity columns the round-1 version used (which
+                # made freeze *slower* than recompute).
+                lo = tree.level_offsets[it]
+                hi = tree.level_offsets[it + 1]
+                live_valid = valid[:, lo:hi] & ~lock[:, lo:hi]
+                cols = [
+                    jnp.zeros((b, 1)),
+                    jnp.where(live_valid, 0.0, NEG_INF) + bias_vec[lo:hi][None],
+                ]
+                if lo > 0:
+                    ctx_valid = valid[:, :lo] & lock[:, :lo]
+                    cols.append(
+                        jnp.where(ctx_valid, 0.0, NEG_INF) + bias_vec[:lo][None]
+                    )
+                    ctx = [cached[:, :lo, layer, :] for layer in range(n_layers)]
+                else:
+                    ctx = None
+                amask = jnp.concatenate(cols, axis=-1)  # [B, 1+(hi-lo)+lo]
+                hidden = jnp.concatenate([cls_b, input_state[:, lo:hi]], axis=1)
             else:
                 raise ValueError(cfg.nesting_mode)
 
@@ -285,11 +308,13 @@ class SubsampleViTModel(nn.Module):
                 deterministic=deterministic,
                 output_hidden_states=True,
             )
-            stacked = jnp.stack(all_hidden, axis=-2).astype(compute)  # [B,1+cap,L+1,D]
+            stacked = jnp.stack(all_hidden, axis=-2).astype(compute)  # [B,Nq,L+1,D]
             cls_cached = stacked[:, :1]
-            if cfg.nesting_mode == "freeze" and it > 0:
-                upd = convergence[:, :, None, None]
-                cached = jnp.where(upd, stacked[:, 1:], cached)
+            if cfg.nesting_mode == "freeze":
+                upd = convergence[:, lo:hi, None, None]
+                cached = cached.at[:, lo:hi].set(
+                    jnp.where(upd, stacked[:, 1:], cached[:, lo:hi])
+                )
             else:
                 cached = stacked[:, 1:]
 
