@@ -55,19 +55,27 @@ def main() -> None:
             lambda q, x: calibrate_act_scales(q, cfg, x)
         )(qparams, pix[:64])
 
+        # params/scales are jit ARGUMENTS, not closure captures: captured
+        # concrete arrays are inlined as HLO constants, which balloons the
+        # compile payload past the remote-compile relay's request limit
+        # (343 MB observed for a closure-captured f32 ViT-B)
         @jax.jit
-        def fwd(x, i):
-            out = quantized_vit_apply(
-                qparams, cfg, x + i * 1e-6, act_scales=scales
-            )
+        def _fwd(qp, sc, x, i):
+            out = quantized_vit_apply(qp, cfg, x + i * 1e-6, act_scales=sc)
             return jnp.sum(out.astype(jnp.float32))
+
+        def fwd(x, i):
+            return _fwd(qparams, scales, x, i)
 
     else:
 
         @jax.jit
-        def fwd(x, i):
-            out = model.apply(variables, x + i * 1e-6)["last_hidden_state"]
+        def _fwd(v, x, i):
+            out = model.apply(v, x + i * 1e-6)["last_hidden_state"]
             return jnp.sum(out.astype(jnp.float32))
+
+        def fwd(x, i):
+            return _fwd(variables, x, i)
 
     float(fwd(pix, 0.0))  # compile + warm-up, hard sync
 

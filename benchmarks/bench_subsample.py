@@ -1,15 +1,19 @@
 """Subsample encoder: freeze (KV-cache) vs open mode cost on the TPU.
 
 BASELINE.json config: bs32 @224, 6 layers, grid 4->2, depth 1, cap 80.
-Benchmark rules (CLAUDE.md): vary inputs per iteration, sync via a
-full-tensor-reduction scalar, amortize dispatch over many iterations.
+Timing: queued-async iterations, one final sync (benchmarks/_timing.py).
 """
 
-import time
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 
+from _timing import bench_queued
 from msvit_tpu.models.subsample import SubsampleViTConfig, SubsampleViTModel
 
 
@@ -28,25 +32,20 @@ def bench(mode: str, iters: int = 30) -> float:
     pix = jax.random.normal(rng, (32, 224, 224, 3), jnp.float32)
     params = jax.jit(model.init)({"params": rng, "policy": rng}, pix)
 
+    # params as jit argument (closure capture inlines them as HLO
+    # constants — bloats the remote-compile payload)
     @jax.jit
-    def fwd(params, x, key):
-        out = model.apply(params, x, rngs={"policy": key})
-        # full-tensor reduction so the sync can't be memoized / folded
+    def fwd(p, x, i, key):
+        out = model.apply(p, x + i * 1e-6, rngs={"policy": key})
         return jnp.sum(out["last_hidden_state"].astype(jnp.float32)) + jnp.sum(
             out["log_prob"]
         )
 
-    keys = jax.random.split(jax.random.PRNGKey(1), iters + 3)
-    # warm-up (compile)
-    float(fwd(params, pix, keys[-1]))
-    float(fwd(params, pix + 1e-3, keys[-2]))
-
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc += float(fwd(params, pix + i * 1e-4, keys[i]))
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{mode:>6}: {dt * 1e3:7.2f} ms/batch  ({32 / dt:7.0f} img/s)  [acc={acc:.3e}]")
+    keys = jax.random.split(jax.random.PRNGKey(1), iters + 4)
+    dt = bench_queued(
+        lambda i: fwd(params, pix, float(i + 1), keys[i]), iters=iters
+    )
+    print(f"{mode:>6}: {dt * 1e3:7.2f} ms/batch  ({32 / dt:7.0f} img/s)")
     return dt
 
 
