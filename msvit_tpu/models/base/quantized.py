@@ -104,12 +104,15 @@ def quantized_vit_apply(
     interpolate_pos_encoding: bool = False,
     act_scales: Dict[str, Any] = None,
     _record_scales: Dict[str, Any] = None,
+    use_kernels: bool = None,
 ) -> jnp.ndarray:
     """int8 inference forward; returns last_hidden_state [B, N+1, D].
 
     `act_scales` (from `calibrate_act_scales`) switches activation
     quantization from dynamic absmax to static calibrated scales — one
-    fewer full read of every matmul input."""
+    fewer full read of every matmul input.  `use_kernels` forces the
+    Pallas attention paths on (interpret mode off-TPU — for tests) or
+    off; default: on exactly on TPU."""
     cfg = config
     p = cfg.patch_size
     b, img_h, img_w, c = pixel_values.shape
@@ -137,7 +140,11 @@ def quantized_vit_apply(
         pos = interpolate_pos_embed(pos, gh * gw, (gh, gw), has_cls=True)
     x = x + pos.astype(x.dtype)
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = (
+        use_kernels
+        if use_kernels is not None
+        else jax.devices()[0].platform == "tpu"
+    )
     # fully-int8 attention data path needs calibrated per-section scales
     int8_attn = (
         on_tpu
@@ -208,11 +215,13 @@ def calibrate_act_scales(
     config: BaseViTConfig,
     sample_pixels: jnp.ndarray,
     margin: float = 1.1,
+    use_kernels: bool = None,
 ) -> Dict[str, jnp.ndarray]:
     """One dynamic-quant forward over a representative batch, recording the
     per-site activation absmax scales (× a safety margin)."""
     record: Dict[str, Any] = {}
     quantized_vit_apply(
-        qparams, config, sample_pixels, _record_scales=record
+        qparams, config, sample_pixels, _record_scales=record,
+        use_kernels=use_kernels,
     )
     return {k: jax.lax.stop_gradient(v) * margin for k, v in record.items()}

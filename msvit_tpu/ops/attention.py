@@ -111,20 +111,21 @@ def _on_tpu() -> bool:
         return False
 
 
-def _flash_eligible(q, k, mask) -> bool:
-    # auto-dispatch additionally requires a TPU backend (off-TPU the
-    # kernels run in the slow interpreter — fine for explicit/test use,
-    # wrong as a default).
-    return _on_tpu() and _kernel_shapes_ok(q, k, mask)
-
-
-def _fused_eligible(q, k) -> bool:
-    # one head's f32 scores tile must fit the single-pass kernel's VMEM
-    # budget (see ops/fused_attention.py)
+def _fused_eligible(q, k, mask) -> bool:
+    # one head's f32 scores tile (plus its mask tile, which shares VMEM)
+    # must fit the single-pass kernel's budget (see ops/fused_attention.py;
+    # Mosaic reuses the scores buffer for the probs, so one copy counts).
+    # Measured OK at [16,12,1600,1600] unmasked (11MB scores, 5.7 ms —
+    # benchmarks/RESULTS.md); beyond this the online-softmax flash kernel
+    # takes over.
     def pad(n):
         return -(-n // 128) * 128
 
-    return pad(q.shape[-2]) * pad(k.shape[-2]) * 4 <= 8 * 1024 * 1024
+    scores = pad(q.shape[-2]) * pad(k.shape[-2]) * 4
+    m_bytes = 0
+    if mask is not None:
+        m_bytes = scores // 4 if mask.dtype == jnp.bool_ else scores
+    return scores + m_bytes <= 12 * 1024 * 1024
 
 
 def multi_head_attention(
@@ -142,15 +143,16 @@ def multi_head_attention(
         # Measured on v5e (tests/test_fused_attention.py + benchmarks):
         # the single-pass fused Pallas kernel wins at this framework's
         # short sequences (scores tile lives in VMEM only); the online-
-        # softmax flash kernel is for sequences whose per-head scores tile
-        # exceeds VMEM; XLA whenever probabilities are requested.
+        # softmax flash kernel takes over when the scores tile exceeds
+        # VMEM (it beats XLA there too — benchmarks/RESULTS.md attention
+        # table); XLA whenever probabilities are requested.
         if output_probs or not _on_tpu():
             implementation = "xla"
-        elif _fused_eligible(q, k) and _kernel_shapes_ok(
+        elif _fused_eligible(q, k, mask) and _kernel_shapes_ok(
             q, k, mask, allow_float_mask=True
         ):
             implementation = "fused"
-        elif _kernel_shapes_ok(q, k, mask):
+        elif _kernel_shapes_ok(q, k, mask, allow_float_mask=True):
             implementation = "flash"
         else:
             implementation = "xla"
@@ -163,7 +165,11 @@ def multi_head_attention(
 
         out = fused_attention(q, k, v, mask=mask, scale=scale, mask_value=mask_value)
         return out, None
-    if implementation == "flash" and not output_probs and _kernel_shapes_ok(q, k, mask):
+    if (
+        implementation == "flash"
+        and not output_probs
+        and _kernel_shapes_ok(q, k, mask, allow_float_mask=True)
+    ):
         from msvit_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(

@@ -14,8 +14,10 @@ too big, so callers route N > ~640 to flash/XLA (see ops.attention
 heuristic); at N=256 it's 3MB.
 
 Supports the framework's bool masks (True = attend), broadcast over heads
-or per-head, and kv-length padding via column iota.  Backward is an XLA
-recompute (cheap at these sizes), like the flash kernel.
+or per-head, and kv-length padding via column iota.  Backward reuses the
+flash kernel's Pallas dQ/dKV kernels (`ops/flash_attention.py`): the
+forward additionally emits a lane-replicated logsumexp, so training never
+materializes the O(N²) probs in HBM either.
 """
 
 from __future__ import annotations
@@ -28,14 +30,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from msvit_tpu.ops.attention import DEFAULT_MASK_VALUE, xla_attention
+from msvit_tpu.ops.attention import DEFAULT_MASK_VALUE
 
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, kv_len, mask_value):
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, kv_len,
+            mask_value):
     q = q_ref[0]  # [H, Nq, dh]
     k = k_ref[0]
     v = v_ref[0]
@@ -73,6 +76,11 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, kv_len, mask_value):
     )  # [H, Nq, dh]
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (o * l_inv).astype(o_ref.dtype)
+    if lse_ref is not None:
+        # lane-replicated logsumexp, same layout as the flash kernel —
+        # consumed by the shared Pallas backward (ops/flash_attention.py)
+        lse = jnp.where(l > 0.0, m + jnp.log(l), 0.0)  # [H, Nq, 1]
+        lse_ref[0] = jnp.broadcast_to(lse, lse.shape[:2] + (128,))
 
 
 def _pad_to(x, axis, size):
@@ -99,8 +107,10 @@ def _heads_per_program(h: int, nq_pad: int, nk_pad: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "mask_value"))
-def _fused_forward(q, k, v, mask, scale, mask_value):
+@functools.partial(
+    jax.jit, static_argnames=("scale", "mask_value", "with_lse")
+)
+def _fused_forward(q, k, v, mask, scale, mask_value, with_lse=False):
     b, h, nq, dh = q.shape
     nk = k.shape[2]
     nq_pad = _cdiv(nq, 128) * 128
@@ -136,24 +146,42 @@ def _fused_forward(q, k, v, mask, scale, mask_value):
             )
         )
         operands.append(mb)
-        kernel = functools.partial(
-            _kernel, scale=scale, kv_len=nk, mask_value=mask_value
+
+    has_mask = mask is not None
+
+    def kernel(*refs):
+        n_in = 3 + (1 if has_mask else 0)
+        qr, kr, vr = refs[:3]
+        mr = refs[3] if has_mask else None
+        outs = refs[n_in:]
+        lr = outs[1] if with_lse else None
+        _kernel(qr, kr, vr, mr, outs[0], lr, scale=scale, kv_len=nk,
+                mask_value=mask_value)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, h, nq_pad, dh), q.dtype)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, hb, nq_pad, dh), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
         )
-    else:
+    ]
+    if with_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, h, nq_pad, 128), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, hb, nq_pad, 128), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
-        def kernel(qr, kr, vr, o):
-            _kernel(qr, kr, vr, None, o, scale=scale, kv_len=nk,
-                    mask_value=mask_value)
-
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(b, h // hb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, hb, nq_pad, dh), lambda i, j: (i, j, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, nq_pad, dh), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * nq_pad * nk_pad * dh,
             bytes_accessed=(qp.size + kp.size + vp.size) * 2,
@@ -162,27 +190,28 @@ def _fused_forward(q, k, v, mask, scale, mask_value):
         # interpreter mode off-TPU: lets CPU CI exercise the kernel math
         interpret=jax.devices()[0].platform != "tpu",
     )(*operands)
-    return out[:, :, :nq]
+    out = outs[0][:, :, :nq]
+    return (out, outs[1]) if with_lse else (out, None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _fused(q, k, v, mask, scale, mask_value):
-    return _fused_forward(q, k, v, mask, scale, mask_value)
+    out, _ = _fused_forward(q, k, v, mask, scale, mask_value)
+    return out
 
 
 def _fused_fwd(q, k, v, mask, scale, mask_value):
-    return _fused(q, k, v, mask, scale, mask_value), (q, k, v, mask)
+    out, lse = _fused_forward(q, k, v, mask, scale, mask_value, with_lse=True)
+    return out, (q, k, v, mask, out, lse)
 
 
 def _fused_bwd(scale, mask_value, res, g):
-    q, k, v, mask = res
+    q, k, v, mask, out, lse = res
+    from msvit_tpu.ops.flash_attention import flash_attention_bwd
 
-    def ref(q_, k_, v_):
-        return xla_attention(q_, k_, v_, mask=mask, scale=scale,
-                             mask_value=mask_value)[0]
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, out, g, lse, mask, scale=scale, mask_value=mask_value
+    )
     return dq, dk, dv, None
 
 

@@ -34,9 +34,15 @@ def test_output_probs_forces_probs():
 
 def test_fused_eligibility_boundary():
     q_small = jnp.zeros((1, 1, 197, 64))
-    assert _fused_eligible(q_small, q_small)
+    assert _fused_eligible(q_small, q_small, None)
+    # measured-OK upper range: 1600² unmasked fits (11MB scores)
+    q_1600 = jnp.zeros((1, 1, 1600, 64))
+    assert _fused_eligible(q_1600, q_1600, None)
+    # ... but not with an f32 additive mask tile sharing VMEM
+    fmask = jnp.zeros((1, 1, 1600, 1600), jnp.float32)
+    assert not _fused_eligible(q_1600, q_1600, fmask)
     q_big = jnp.zeros((1, 1, 2048, 64))
-    assert not _fused_eligible(q_big, q_big)  # 2048² f32 > 8MB budget
+    assert not _fused_eligible(q_big, q_big, None)  # 2048² f32 > budget
 
 
 def test_fused_kernel_interpret_mode_matches_xla():
