@@ -58,6 +58,12 @@ class SpectralClusteringConfig(ClusteringConfig):
     cluster_size_threshold: float = 0.0  # kept for config parity (unused)
     affinity_focal_gamma: float = 3.0
     kmeans_iters: int = 16
+    # "subspace": randomized subspace iteration (all-matmul, batches over
+    # the cluster axis on the MXU — ops/ncut.py) — the production default.
+    # "eigh": exact dense eigensolve (QDWH on TPU: accurate but orders of
+    # magnitude slower when batched; use for parity checks).
+    eig_method: str = "subspace"
+    eig_iters: int = 12
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,63 +93,75 @@ def _spectral_single(
     key: jax.Array,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Core per-parent NCut→threshold→KMeans over one token set; returns
-    (child ids [M], n_children [C_max])."""
+    (child ids [M], n_children [C_max]).
+
+    The reference loops over parents in Python, each iteration running its
+    own NCut + KMeans (`modeling_spectral.py:72-94`).  Round 1 kept that
+    loop (serial `lax.cond`-guarded eigensolves); here every per-parent
+    stage is **batched over the cluster axis** instead — one vmapped NCut
+    (batched [C, m, m] eigh instead of C sequential ones) and one vmapped
+    KMeans.  The only genuinely sequential piece of the reference
+    semantics, the child-count budget clamp (each parent's child count is
+    clipped to the slots still free), is a scalar `lax.scan` over C.
+    """
     c_max = config.max_clusters
     flat_x = flat_x.astype(jnp.float32)
-
-    result = jnp.zeros(flat_parent.shape, jnp.int32)
-    n_children = jnp.zeros((c_max,), jnp.int32)
-    cum = jnp.zeros((), jnp.int32)
-
     n_tokens = flat_x.shape[0]
 
-    def cluster_parent(args):
-        member, k_ncut, k_km, cum = args
-        vecs, vals = ncut(
+    member = flat_parent[None, :] == jnp.arange(c_max)[:, None]  # [C, M]
+    has = jnp.any(member, axis=1)  # [C]
+    keys = jax.random.split(key, 2 * c_max)
+    k_ncut, k_km = keys[:c_max], keys[c_max:]
+
+    vecs, vals = jax.vmap(
+        lambda m, k: ncut(
             flat_x,
             num_eig=config.ncut_dim,
-            key=k_ncut,
+            key=k,
             num_sample=config.num_sample,
             distance=config.ncut_dist,
             gamma=config.affinity_focal_gamma,
-            mask=member,
+            mask=m,
+            eig_method=config.eig_method,
+            eig_iters=config.eig_iters,
         )
-        # children count = #(eigenvalues above threshold), clamped to ≥1
-        # and to the remaining slot budget (`modeling_spectral.py:87`)
-        k_p = jnp.sum(vals > config.eigenvalue_threshold).astype(jnp.int32)
-        k_p = jnp.clip(k_p, 1, jnp.maximum(c_max - cum, 1))
+    )(member, k_ncut)  # [C, M, e], [C, e]
 
-        # KMeans on the top-k_p eigenvectors: zero inactive columns (the
-        # reference slices `ncut_x[:, :n_child]`), mask inactive centers
-        col_active = jnp.arange(config.ncut_dim) < k_p
-        sub = vecs * col_active[None, :]
-        labels, _ = kmeans(
-            sub,
+    # children count = #(eigenvalues above threshold), clamped to ≥1 and
+    # to the remaining slot budget (`modeling_spectral.py:87`); empty
+    # parent slots contribute 0 children
+    k_raw = jnp.sum(vals > config.eigenvalue_threshold, axis=-1).astype(jnp.int32)
+
+    def clamp_step(cum, inp):
+        k_raw_p, has_p = inp
+        k_p = jnp.where(
+            has_p, jnp.clip(k_raw_p, 1, jnp.maximum(c_max - cum, 1)), 0
+        )
+        return cum + k_p, (k_p, cum)
+
+    _, (n_children, cums) = jax.lax.scan(
+        clamp_step, jnp.asarray(0, jnp.int32), (k_raw, has)
+    )
+
+    # KMeans on the top-k_p eigenvectors: zero inactive columns (the
+    # reference slices `ncut_x[:, :n_child]`), mask inactive centers
+    col_active = jnp.arange(config.ncut_dim)[None, :] < n_children[:, None]
+    sub = vecs * col_active[:, None, :]
+    labels, _ = jax.vmap(
+        lambda s, k, a, m: kmeans(
+            s,
             k=config.ncut_dim,
-            key=k_km,
+            key=k,
             iters=config.kmeans_iters,
-            active=col_active,
-            mask=member,
+            active=a,
+            mask=m,
         )
-        return labels, k_p
+    )(sub, k_km, col_active, member)  # [C, M]
 
-    def skip_parent(args):
-        return jnp.zeros((n_tokens,), jnp.int32), jnp.asarray(0, jnp.int32)
-
-    for p in range(c_max):
-        key, k_ncut, k_km = jax.random.split(key, 3)
-        member = flat_parent == p
-        has = jnp.any(member)
-
-        # empty parent slots skip the NCut eigensolve + KMeans entirely
-        # (most of the padded cluster axis is empty early in the network)
-        labels, k_p = jax.lax.cond(
-            has, cluster_parent, skip_parent, (member, k_ncut, k_km, cum)
-        )
-        result = jnp.where(member, cum + labels, result)
-        n_children = n_children.at[p].set(k_p)
-        cum = cum + k_p
-
+    # parents partition the tokens, so a masked sum assembles global ids
+    result = jnp.sum(
+        jnp.where(member, cums[:, None] + labels, 0), axis=0
+    ).astype(jnp.int32)
     return jnp.clip(result, 0, c_max - 1), n_children
 
 

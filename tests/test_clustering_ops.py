@@ -95,3 +95,27 @@ def test_fps_spreads_and_respects_mask():
     mask = jnp.asarray([True, True, True, True, False])
     idx = farthest_point_sampling(x, 3, mask=mask)
     assert 4 not in set(np.asarray(idx).tolist())
+
+
+def test_ncut_subspace_matches_eigh():
+    """The all-matmul subspace eigensolver (ops/ncut.py::_topk_eig_subspace,
+    the production eig_method for spectral clustering) agrees with the
+    dense eigh path on eigenvalues and on the spectral embedding geometry."""
+    x = _two_blobs(n_per=100)
+    k = jax.random.PRNGKey(2)
+    vecs_e, vals_e = ncut(x, num_eig=4, key=k, num_sample=128, eig_method="eigh")
+    vecs_s, vals_s = ncut(
+        x, num_eig=4, key=k, num_sample=128, eig_method="subspace", eig_iters=12
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals_e[:3]), np.asarray(vals_s[:3]), atol=0.02
+    )
+    # eigenvectors agree up to sign (compare absolute cosine per column)
+    for j in range(2):
+        a = np.asarray(vecs_e[:, j])
+        b = np.asarray(vecs_s[:, j])
+        cos = abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.99, (j, cos)
+    # blob separation survives
+    v1 = np.asarray(vecs_s[:, 1])
+    assert (v1[:100].mean() > 0) != (v1[100:].mean() > 0)
