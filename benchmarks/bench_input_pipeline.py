@@ -1,0 +1,126 @@
+"""Input pipeline vs model throughput on the TPU (VERDICT r1 #6).
+
+Feeds the int8 ViT-B/16 serving trunk from REAL encoded JPEGs through the
+native decode kernel with double-buffered host->device prefetch
+(`msvit_tpu.data.pipeline.prefetch_to_device`), and reports
+
+  * host-only decode rate (native/decode.cpp fused decode+resize+norm);
+  * device-only model rate (the bench.py headline path);
+  * overlapped end-to-end rate (prefetch pipeline).
+
+Overlap is ideal when e2e ≈ min(host, device) rather than the serial
+1/(1/host + 1/device).  NOTE this container exposes ONE CPU core
+(`nproc` = 1); the C++ decode pool scales linearly with cores on a real
+host, so the host-side rate here is a 1-core lower bound.
+"""
+
+import io
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import _timing  # noqa: F401  (compilation cache side effect)
+from msvit_tpu.data.pipeline import (
+    ImagePipelineConfig,
+    decode_jpeg_images,
+    prefetch_to_device,
+)
+
+
+def make_jpegs(n=256, size=512, seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    blobs = []
+    for _ in range(n):
+        small = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        img = Image.fromarray(small).resize((size, size), Image.BILINEAR)
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=90)
+        blobs.append(buf.getvalue())
+    return blobs
+
+
+def main():
+    print("devices:", jax.devices(), "| host cores:", os.cpu_count())
+    from msvit_tpu.models.base import BaseViTConfig, ViTModel
+    from msvit_tpu.models.base.quantized import (
+        calibrate_act_scales,
+        quantize_vit_params,
+        quantized_vit_apply,
+    )
+
+    batch = 64
+    n_batches = 8
+    cfg = BaseViTConfig()
+    pipe_cfg = ImagePipelineConfig()
+    blobs = make_jpegs(batch * n_batches)
+
+    model = ViTModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    pix0 = jax.random.normal(rng, (batch, 224, 224, 3), jnp.float32)
+    variables = jax.jit(model.init)({"params": rng}, pix0[:1])
+    qparams = quantize_vit_params(variables["params"])
+    scales = jax.jit(lambda q, x: calibrate_act_scales(q, cfg, x))(
+        qparams, pix0
+    )
+
+    # params as jit arguments (closure capture inlines them as HLO
+    # constants — bloats the remote-compile payload)
+    @jax.jit
+    def _fwd(qp, sc, x):
+        out = quantized_vit_apply(qp, cfg, x, act_scales=sc)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def fwd(x):
+        return _fwd(qparams, scales, x)
+
+    float(fwd(pix0))  # compile
+
+    # 1) host-only decode rate
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        decode_jpeg_images(blobs[i * batch : (i + 1) * batch], pipe_cfg)
+    host_rate = batch * n_batches / (time.perf_counter() - t0)
+    print(f"host decode rate:     {host_rate:7.0f} img/s (1-core lower bound)")
+
+    # 2) device-only model rate (queued)
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        s = fwd(pix0 + i * 1e-6)
+    float(s)
+    dev_rate = batch * n_batches / (time.perf_counter() - t0)
+    print(f"device model rate:    {dev_rate:7.0f} img/s")
+
+    # 3) overlapped pipeline: decode in a background thread, device consumes
+    def gen():
+        for i in range(n_batches):
+            yield {
+                "pixel_values": decode_jpeg_images(
+                    blobs[i * batch : (i + 1) * batch], pipe_cfg
+                )
+            }
+
+    t0 = time.perf_counter()
+    for item in prefetch_to_device(gen(), buffer_size=2):
+        s = fwd(item["pixel_values"])
+    float(s)
+    e2e_rate = batch * n_batches / (time.perf_counter() - t0)
+    serial_rate = 1.0 / (1.0 / host_rate + 1.0 / dev_rate)
+    print(f"overlapped pipeline:  {e2e_rate:7.0f} img/s")
+    print(
+        f"(serial would be ~{serial_rate:5.0f}; ideal overlap = "
+        f"min(host, device) = {min(host_rate, dev_rate):5.0f})"
+    )
+
+
+if __name__ == "__main__":
+    main()

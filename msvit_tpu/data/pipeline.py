@@ -103,6 +103,83 @@ def preprocess_on_device(
     return (x / 255.0 - mean) / std
 
 
+def decode_jpeg_images(
+    blobs: Sequence[bytes],
+    config: ImagePipelineConfig = ImagePipelineConfig(),
+) -> np.ndarray:
+    """Encoded JPEG bytes → normalized [B,S,S,3] f32 via the native fused
+    decode+resize+normalize kernel (`native/decode.cpp`; DCT downscaling,
+    threaded across the batch).  Falls back to PIL + `preprocess_images`
+    when the native decode library is unavailable.  Failed decodes fall
+    back to PIL per-image; images PIL can't read either become zeros."""
+    try:
+        from msvit_tpu.native import decode_preprocess_batch
+
+        out, ok = decode_preprocess_batch(
+            blobs, config.image_size, config.mean, config.std
+        )
+    except (ImportError, OSError):
+        out = None
+        ok = np.zeros((len(blobs),), bool)
+    if out is None:
+        out = np.zeros(
+            (len(blobs), config.image_size, config.image_size, 3), np.float32
+        )
+    if not ok.all():
+        import io
+
+        from PIL import Image
+
+        for i in np.nonzero(~ok)[0]:
+            try:
+                img = Image.open(io.BytesIO(blobs[i]))
+                out[i] = preprocess_images([img], config)[0]
+            except Exception:
+                pass  # keep zeros
+    return out
+
+
+def prefetch_to_device(
+    iterator: Iterator[dict],
+    buffer_size: int = 2,
+    device=None,
+) -> Iterator[dict]:
+    """Double-buffered host→device prefetch: a background thread runs the
+    (decode/preprocess) iterator and eagerly `device_put`s each batch, so
+    the host prepares batch i+1..i+buffer_size while the device computes
+    on batch i.  The reference has no overlap at all — its DataLoader
+    collate blocks the training loop (`sandbox/predictive.py:98`)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in iterator:
+                item = {
+                    k: (jax.device_put(v, device) if isinstance(v, np.ndarray) else v)
+                    for k, v in item.items()
+                }
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def load_image_batches(
     dataset_id: str,
     split: str = "train",
@@ -112,28 +189,48 @@ def load_image_batches(
     image_key: str = "image",
     label_key: Optional[str] = "label",
     shuffle_seed: Optional[int] = None,
+    prefetch: int = 2,
+    native_decode: bool = True,
 ) -> Iterator[dict]:
     """HF-hub loader (network/cache-gated): yields
     {"pixel_values": [B,S,S,3] f32, "labels": [B] int or None} — the
     TPU-native analog of the reference's DataLoader + ViTImageProcessor
-    collate (`sandbox/subsample_vit.py:64-80`)."""
+    collate (`sandbox/subsample_vit.py:64-80`).
+
+    With ``native_decode`` the image column is read as raw encoded bytes
+    and decoded by the C++ JPEG kernel; with ``prefetch > 0`` batches are
+    prepared and device_put by a background thread (double buffering)."""
     try:
         import datasets  # noqa: PLC0415
     except ImportError as e:  # pragma: no cover
         raise ImportError("`datasets` is required for load_image_batches") from e
 
     ds = datasets.load_dataset(dataset_id, split=split, streaming=streaming)
+    if native_decode:
+        try:
+            ds = ds.cast_column(image_key, datasets.Image(decode=False))
+        except Exception:
+            native_decode = False
     if shuffle_seed is not None:
         ds = ds.shuffle(seed=shuffle_seed)
 
-    images, labels = [], []
-    for row in ds:
-        images.append(row[image_key])
-        if label_key is not None and label_key in row:
-            labels.append(row[label_key])
-        if len(images) == batch_size:
-            yield {
-                "pixel_values": preprocess_images(images, config),
-                "labels": np.asarray(labels) if labels else None,
-            }
-            images, labels = [], []
+    def gen() -> Iterator[dict]:
+        images, labels = [], []
+        for row in ds:
+            images.append(row[image_key])
+            if label_key is not None and label_key in row:
+                labels.append(row[label_key])
+            if len(images) == batch_size:
+                if native_decode:
+                    blobs = [im["bytes"] for im in images]
+                    pix = decode_jpeg_images(blobs, config)
+                else:
+                    pix = preprocess_images(images, config)
+                yield {
+                    "pixel_values": pix,
+                    "labels": np.asarray(labels) if labels else None,
+                }
+                images, labels = [], []
+
+    it = gen()
+    return prefetch_to_device(it, buffer_size=prefetch) if prefetch > 0 else it

@@ -17,13 +17,15 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "preprocess.cpp")
-# built artifact lives in a non-package subdir so module-walking tools
-# (pkgutil, pytest collection) never mistake it for a Python extension
+_SRC_DECODE = os.path.join(_DIR, "decode.cpp")
+# built artifacts live in a non-package subdir so module-walking tools
+# (pkgutil, pytest collection) never mistake them for Python extensions
 _LIB = os.path.join(_DIR, "_build", "libmsvit_preprocess.so")
+_LIB_DECODE = os.path.join(_DIR, "_build", "libmsvit_decode.so")
 
 
-def _build() -> None:
-    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+def _build(src: str, lib: str, extra: tuple = ()) -> None:
+    os.makedirs(os.path.dirname(lib), exist_ok=True)
     cmd = [
         "g++",
         "-O3",
@@ -32,9 +34,10 @@ def _build() -> None:
         "-fPIC",
         "-std=c++17",
         "-pthread",
-        _SRC,
+        src,
         "-o",
-        _LIB,
+        lib,
+        *extra,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -43,7 +46,7 @@ def _load() -> ctypes.CDLL:
     if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
         _SRC
     ):
-        _build()
+        _build(_SRC, _LIB)
     lib = ctypes.CDLL(_LIB)
     lib.preprocess_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),
@@ -58,7 +61,48 @@ def _load() -> ctypes.CDLL:
     return lib
 
 
+def _load_decode() -> ctypes.CDLL:
+    """JPEG decode library (links libjpeg-turbo); built lazily on first
+    use so environments without libjpeg headers still get the resize lib."""
+    if not os.path.exists(_LIB_DECODE) or os.path.getmtime(
+        _LIB_DECODE
+    ) < os.path.getmtime(_SRC_DECODE):
+        _build(_SRC_DECODE, _LIB_DECODE, extra=("-ljpeg",))
+    lib = ctypes.CDLL(_LIB_DECODE)
+    lib.decode_preprocess_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.decode_preprocess_batch.restype = None
+    lib.decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.decode_batch.restype = None
+    return lib
+
+
 _lib = _load()
+_lib_decode = None
+
+
+def _decode_lib() -> ctypes.CDLL:
+    global _lib_decode
+    if _lib_decode is None:
+        _lib_decode = _load_decode()
+    return _lib_decode
 
 
 def preprocess_batch(
@@ -92,3 +136,58 @@ def preprocess_batch(
         std_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def decode_preprocess_batch(
+    blobs: Sequence[bytes],
+    size: int,
+    mean: Tuple[float, float, float],
+    std: Tuple[float, float, float],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encoded JPEG blobs → ([B, size, size, 3] float32 normalized,
+    ok [B] bool).  Decode (with DCT downscaling), bilinear resize and
+    normalize run fused in C++ threads (decode.cpp)."""
+    batch = len(blobs)
+    bufs = [np.frombuffer(b, np.uint8) for b in blobs]
+    ptrs = (ctypes.c_void_p * batch)(*(b.ctypes.data for b in bufs))
+    lens = (ctypes.c_size_t * batch)(*(len(b) for b in blobs))
+    out = np.empty((batch, size, size, 3), np.float32)
+    ok = np.zeros((batch,), np.int32)
+    mean_arr = np.asarray(mean, np.float32)
+    std_arr = np.asarray(std, np.float32)
+    _decode_lib().decode_preprocess_batch(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(lens, ctypes.POINTER(ctypes.c_size_t)),
+        batch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size,
+        mean_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, ok.astype(bool)
+
+
+def decode_jpeg_batch(
+    blobs: Sequence[bytes], max_h: int, max_w: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encoded JPEG blobs → (packed [B, max_h, max_w, 3] uint8,
+    dims [B, 2] actual (h, w), ok [B] bool)."""
+    batch = len(blobs)
+    bufs = [np.frombuffer(b, np.uint8) for b in blobs]
+    ptrs = (ctypes.c_void_p * batch)(*(b.ctypes.data for b in bufs))
+    lens = (ctypes.c_size_t * batch)(*(len(b) for b in blobs))
+    out = np.zeros((batch, max_h, max_w, 3), np.uint8)
+    dims = np.zeros((batch, 2), np.int32)
+    ok = np.zeros((batch,), np.int32)
+    _decode_lib().decode_batch(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(lens, ctypes.POINTER(ctypes.c_size_t)),
+        batch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max_h,
+        max_w,
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, dims, ok.astype(bool)

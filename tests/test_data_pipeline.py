@@ -62,3 +62,81 @@ def test_device_path():
     out = preprocess_on_device(u8, ImagePipelineConfig(image_size=32))
     assert out.shape == (2, 32, 32, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def _jpeg_blobs(n=6, size=160, seed=0):
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    blobs = []
+    for _ in range(n):
+        small = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        img = Image.fromarray(small).resize((size, size), Image.BILINEAR)
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=95)
+        blobs.append(buf.getvalue())
+    return blobs
+
+
+def test_native_jpeg_decode_matches_pil():
+    """decode.cpp (DCT-scaled decode + fused resize/normalize) agrees with
+    the PIL decode + preprocess path within JPEG-decoder tolerance."""
+    import io
+
+    from PIL import Image
+
+    pytest.importorskip("msvit_tpu.native")
+    from msvit_tpu.data.pipeline import ImagePipelineConfig, decode_jpeg_images
+    from msvit_tpu.data.pipeline import preprocess_images
+
+    blobs = _jpeg_blobs()
+    cfg = ImagePipelineConfig(image_size=112)
+    out = decode_jpeg_images(blobs, cfg)
+    ref = preprocess_images(
+        [Image.open(io.BytesIO(b)) for b in blobs], cfg
+    )
+    assert out.shape == ref.shape == (6, 112, 112, 3)
+    # normalized units (mean 0.5 / std 0.5): 0.05 ≈ 6/255 pixel levels,
+    # covering IDCT implementation + DCT-downscale differences
+    assert float(np.abs(out - ref).mean()) < 0.05
+
+
+def test_native_jpeg_decode_corrupt_blob_falls_back():
+    from msvit_tpu.data.pipeline import ImagePipelineConfig, decode_jpeg_images
+
+    blobs = _jpeg_blobs(2)
+    blobs.append(b"not a jpeg at all")
+    out = decode_jpeg_images(blobs, ImagePipelineConfig(image_size=64))
+    assert out.shape == (3, 64, 64, 3)
+    assert np.isfinite(out).all()
+    assert np.abs(out[:2]).sum() > 0
+    assert np.abs(out[2]).sum() == 0  # unreadable anywhere -> zeros
+
+
+def test_prefetch_to_device_preserves_order_and_content():
+    from msvit_tpu.data.pipeline import prefetch_to_device
+
+    batches = [
+        {"pixel_values": np.full((2, 4, 4, 3), i, np.float32), "labels": None}
+        for i in range(5)
+    ]
+    got = list(prefetch_to_device(iter(batches), buffer_size=2))
+    assert len(got) == 5
+    for i, b in enumerate(got):
+        assert float(jnp.mean(b["pixel_values"])) == float(i)
+        assert b["labels"] is None
+
+
+def test_prefetch_propagates_worker_errors():
+    from msvit_tpu.data.pipeline import prefetch_to_device
+
+    def bad_gen():
+        yield {"pixel_values": np.zeros((1, 2, 2, 3), np.float32)}
+        raise RuntimeError("decode exploded")
+
+    it = prefetch_to_device(bad_gen(), buffer_size=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(it)
