@@ -6,6 +6,7 @@ tokens (reference `model/multistate_encoder/`, SURVEY §2.3).
 from msvit_tpu.models.multistate.config import MultiStateViTConfig  # noqa: F401
 from msvit_tpu.models.multistate.model import (  # noqa: F401
     MultiStateViTEncoderBackbone,
+    MultiStateViTForImageClassification,
     MultiStateViTEncoderModel,
     build_multistate_attention_mask,
     compress_tokens_with_cluster_indices,

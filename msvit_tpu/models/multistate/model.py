@@ -285,3 +285,65 @@ def compress_tokens_with_cluster_indices(
     solve = jax.vmap(lambda xb, yb: jnp.linalg.lstsq(xb, yb)[0])
     w = solve(x, y)  # [B, CD+HN, 1]
     return w[:, : c * d, 0].reshape(b, c, d)
+
+
+class MultiStateViTForImageClassification(nn.Module):
+    """Classification head over the pooled transmitter tokens.
+
+    The reference stops at the pooler (TX tokens + RX→TX attentions,
+    `modeling_msvitencoder.py:555-561`) and never adds a task head; this
+    is the natural fine-tuning story for the family: occupancy-weighted
+    mean of the TX tokens → linear head.  Intended use mirrors the
+    reference's policy-only subsample training (`sandbox/subsample_vit.py
+    :83-124`): freeze the pretrained trunk, train the TX/RX tokens and
+    the classifier (see examples/train_multistate.py)."""
+
+    config: MultiStateViTConfig
+    num_labels: int = 1000
+
+    @nn.compact
+    def __call__(
+        self,
+        pixel_values: jnp.ndarray,
+        labels: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        interpolate_pos_encoding: bool = False,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        out = MultiStateViTEncoderModel(cfg, name="encoder")(
+            pixel_values,
+            rng=rng,
+            deterministic=deterministic,
+            interpolate_pos_encoding=interpolate_pos_encoding,
+        )
+        tx = out["cluster_tokens"].astype(jnp.float32)  # [B, C, D]
+        c_max = tx.shape[1]
+        # occupancy-weighted pool: only clusters that own tokens count
+        occ = (
+            jnp.sum(
+                jax.nn.one_hot(out["last_cluster_indices"], c_max), axis=1
+            )
+            > 0
+        ).astype(jnp.float32)  # [B, C]
+        pooled = jnp.sum(tx * occ[..., None], axis=1) / jnp.maximum(
+            jnp.sum(occ, axis=1, keepdims=True), 1.0
+        )
+        logits = nn.Dense(
+            self.num_labels,
+            kernel_init=trunc_normal_init(cfg.initializer_range),
+            dtype=jnp.float32,
+            param_dtype=cfg.policy.param,
+            name="classifier",
+        )(pooled)
+        loss = None
+        if labels is not None:
+            loss = jnp.mean(
+                -jnp.take_along_axis(
+                    jax.nn.log_softmax(logits, axis=-1),
+                    labels[:, None],
+                    axis=1,
+                )[:, 0]
+            )
+        out.update({"logits": logits, "loss": loss})
+        return out

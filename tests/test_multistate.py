@@ -150,3 +150,53 @@ def test_compress_tokens_experimental():
     tx = compress_tokens_with_cluster_indices(q, kw, kb, probs, ci, c, dh)
     assert tx.shape == (b, c, d)
     assert bool(jnp.isfinite(tx).all())
+
+
+def test_classification_finetune_decreases_loss():
+    """examples/train_multistate.py semantics: frozen trunk, trainable
+    TX/RX tokens + classifier head, loss decreases."""
+    import optax
+
+    from msvit_tpu.models.multistate import MultiStateViTForImageClassification
+    from msvit_tpu.train.loop import make_optimizer
+
+    cfg = _cfg()
+    model = MultiStateViTForImageClassification(cfg, num_labels=4)
+    rng = jax.random.PRNGKey(0)
+    pix = jax.random.normal(rng, (4, cfg.image_size, cfg.image_size, 3))
+    labels = jnp.asarray([0, 1, 2, 3])
+    params = model.init({"params": rng, "clustering": rng}, pix, labels)
+
+    trainable = lambda path: any(  # noqa: E731
+        n in ("transmitter_token", "receiver_token", "classifier")
+        for n in path
+    )
+    opt = make_optimizer(5e-2, trainable=trainable)
+    state = opt.init(params)
+    frozen_before = jax.tree.leaves(
+        params["params"]["encoder"]["embeddings"]
+    )[0]
+
+    @jax.jit
+    def step(params, state, key):
+        def loss_fn(p):
+            out = model.apply(p, pix, labels, rng=key)
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    losses = []
+    for i in range(6):
+        params, state, loss = step(params, state, jax.random.PRNGKey(7))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # trunk params stayed frozen
+    frozen_after = jax.tree.leaves(
+        params["params"]["encoder"]["embeddings"]
+    )[0]
+    np.testing.assert_array_equal(
+        np.asarray(frozen_before), np.asarray(frozen_after)
+    )

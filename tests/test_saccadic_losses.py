@@ -99,3 +99,58 @@ def test_trace_losses_finite():
     assert set(losses) == {"predictive", "positional_recovery", "preservation"}
     for v in losses.values():
         assert np.isfinite(v)
+
+
+def test_joint_training_step_decreases_loss():
+    """The examples/train_saccadic.py objective (pattern NLL + refiner
+    preservation, one AdamW over both) demonstrably reduces loss on pools
+    collected from the batched controller."""
+    from msvit_tpu.models.saccadic.batched import batched_saccade_run
+    from msvit_tpu.models.saccadic import SaccadicViTEmbeddings
+
+    cfg = _cfg()
+    embeddings = SaccadicViTEmbeddings(cfg)
+    pattern = SaccadicViTMultiStatePattern(cfg)
+    predictor = TransformerSaccadicViTPredictor(cfg)
+
+    pix = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    emb_vars = embeddings.init(
+        jax.random.PRNGKey(1), pix, jnp.zeros((2, cfg.dof))
+    )
+    h0 = jnp.zeros((2, 2, cfg.hidden_size))
+    c0 = jnp.zeros((2, 2, cfg.hidden_size))
+    pat_vars = pattern.init(jax.random.PRNGKey(2), h0, c0, 1)
+    ref_vars = predictor.init(
+        jax.random.PRNGKey(3), h0, c0, pattern.apply(pat_vars, h0, c0, 1)
+    )
+
+    trace = batched_saccade_run(
+        cfg, {"embeddings": emb_vars, "pattern": pat_vars}, pix, num_steps=5
+    )
+    pool = jnp.swapaxes(trace["embeddings"], 0, 1)
+    context, hidden = pool[:, :2], pool[:, 2:]
+
+    params = {"pattern": pat_vars, "refiner": ref_vars}
+    opt = optax.adamw(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(params):
+            nll = pattern_nll_loss(pattern, params["pattern"], hidden, context)
+            pres, _ = refiner_preservation_loss(
+                pattern, predictor, params["pattern"], params["refiner"],
+                hidden, context,
+            )
+            return nll + pres
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    losses = []
+    for _ in range(8):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
