@@ -13,7 +13,7 @@ variant `modeling_msvitencoder.py:235-243`): never materializes the
   block masks, context-length masks, validity masks);
 * kv-length padding handled inside the kernel via column iota, so callers
   may pass any sequence length;
-* large blocks (256×512 by default — the round-1 kernel's 128×128 tiles
+* large blocks (512×1024 by default, v5e-swept — the round-1 kernel's 128×128 tiles
   underutilized the MXU and lost to XLA at its own target shapes).
 
 Backward: dedicated Pallas dQ and dK/dV kernels (standard flash-attention
@@ -41,9 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 from msvit_tpu.ops.attention import DEFAULT_MASK_VALUE
 
 _LANES = 128
-# default tile sizes (v5e-tuned; see benchmarks/RESULTS.md attention table)
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+# default tile sizes (v5e sweep, benchmarks/bench_flash.py: 5.65 ms at [16,12,1600,64] vs 9.5 XLA)
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 
 
 def _cdiv(a: int, b: int) -> int:
