@@ -139,16 +139,60 @@ def decode_jpeg_images(
     return out
 
 
+def decode_jpeg_images_u8(
+    blobs: Sequence[bytes],
+    config: ImagePipelineConfig = ImagePipelineConfig(),
+) -> np.ndarray:
+    """Encoded JPEG bytes → [B,S,S,3] **uint8** (decoded + resized, NOT
+    normalized): the wire-efficient host→device format — 4× less
+    transfer than f32, with `preprocess_on_device` doing the /255 +
+    mean/std on device (where XLA fuses it into the patch embedding).
+    Same fallback ladder as `decode_jpeg_images`; note unreadable images
+    come out as BLACK (u8 zeros → -mean/std after device normalize),
+    where the f32 path yields zeros in normalized space."""
+    s = config.image_size
+    try:
+        from msvit_tpu.native import decode_resize_u8
+
+        out, ok = decode_resize_u8(blobs, s)
+    except (ImportError, OSError):
+        out = None
+        ok = np.zeros((len(blobs),), bool)
+    if out is None:
+        out = np.zeros((len(blobs), s, s, 3), np.uint8)
+    if not ok.all():
+        import io
+
+        from PIL import Image
+
+        for i in np.nonzero(~ok)[0]:
+            try:
+                img = Image.open(io.BytesIO(blobs[i])).convert("RGB")
+                arr = to_rgb_array(img).astype(np.float32)
+                out[i] = np.clip(
+                    _resize_bilinear_np(arr, s, s) + 0.5, 0, 255
+                ).astype(np.uint8)
+            except Exception:
+                pass  # keep zeros
+    return out
+
+
 def prefetch_to_device(
     iterator: Iterator[dict],
     buffer_size: int = 2,
     device=None,
+    transform=None,
 ) -> Iterator[dict]:
     """Double-buffered host→device prefetch: a background thread runs the
     (decode/preprocess) iterator and eagerly `device_put`s each batch, so
     the host prepares batch i+1..i+buffer_size while the device computes
     on batch i.  The reference has no overlap at all — its DataLoader
-    collate blocks the training loop (`sandbox/predictive.py:98`)."""
+    collate blocks the training loop (`sandbox/predictive.py:98`).
+
+    ``transform`` (optional) maps the device-put dict to its final form
+    inside the worker — e.g. a jitted `preprocess_on_device` that turns
+    wire-format uint8 pixels into normalized f32 on device; the work is
+    queued asynchronously, so it overlaps like everything else."""
     import queue
     import threading
 
@@ -163,6 +207,8 @@ def prefetch_to_device(
                     k: (jax.device_put(v, device) if isinstance(v, np.ndarray) else v)
                     for k, v in item.items()
                 }
+                if transform is not None:
+                    item = transform(item)
                 q.put(item)
         except BaseException as e:  # propagate into the consumer
             err.append(e)
@@ -191,6 +237,7 @@ def load_image_batches(
     shuffle_seed: Optional[int] = None,
     prefetch: int = 2,
     native_decode: bool = True,
+    wire_dtype: str = "uint8",
 ) -> Iterator[dict]:
     """HF-hub loader (network/cache-gated): yields
     {"pixel_values": [B,S,S,3] f32, "labels": [B] int or None} — the
@@ -199,7 +246,10 @@ def load_image_batches(
 
     With ``native_decode`` the image column is read as raw encoded bytes
     and decoded by the C++ JPEG kernel; with ``prefetch > 0`` batches are
-    prepared and device_put by a background thread (double buffering)."""
+    prepared and device_put by a background thread (double buffering).
+    ``wire_dtype="uint8"`` (default, requires prefetch) ships resized
+    uint8 over the host→device link (4× less traffic) and normalizes on
+    device; ``"float32"`` normalizes on host."""
     try:
         import datasets  # noqa: PLC0415
     except ImportError as e:  # pragma: no cover
@@ -214,6 +264,8 @@ def load_image_batches(
     if shuffle_seed is not None:
         ds = ds.shuffle(seed=shuffle_seed)
 
+    u8_wire = wire_dtype == "uint8" and native_decode and prefetch > 0
+
     def gen() -> Iterator[dict]:
         images, labels = [], []
         for row in ds:
@@ -223,7 +275,11 @@ def load_image_batches(
             if len(images) == batch_size:
                 if native_decode:
                     blobs = [im["bytes"] for im in images]
-                    pix = decode_jpeg_images(blobs, config)
+                    pix = (
+                        decode_jpeg_images_u8(blobs, config)
+                        if u8_wire
+                        else decode_jpeg_images(blobs, config)
+                    )
                 else:
                     pix = preprocess_images(images, config)
                 yield {
@@ -233,4 +289,13 @@ def load_image_batches(
                 images, labels = [], []
 
     it = gen()
-    return prefetch_to_device(it, buffer_size=prefetch) if prefetch > 0 else it
+    if prefetch <= 0:
+        return it
+    transform = None
+    if u8_wire:
+        normalize = jax.jit(lambda u8: preprocess_on_device(u8, config))
+
+        def transform(item):
+            return {**item, "pixel_values": normalize(item["pixel_values"])}
+
+    return prefetch_to_device(it, buffer_size=prefetch, transform=transform)

@@ -80,6 +80,15 @@ def _load_decode() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.decode_preprocess_batch.restype = None
+    lib.decode_resize_u8_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.decode_resize_u8_batch.restype = None
     lib.decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_size_t),
@@ -163,6 +172,30 @@ def decode_preprocess_batch(
         size,
         mean_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, ok.astype(bool)
+
+
+def decode_resize_u8(
+    blobs: Sequence[bytes], size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encoded JPEG blobs → ([B, size, size, 3] uint8, ok [B] bool).
+    Decode (DCT downscaling) + bilinear resize, NO normalization — the
+    wire-efficient host→device format (4× smaller than f32; normalize on
+    device with `data.pipeline.preprocess_on_device`)."""
+    batch = len(blobs)
+    bufs = [np.frombuffer(b, np.uint8) for b in blobs]
+    ptrs = (ctypes.c_void_p * batch)(*(b.ctypes.data for b in bufs))
+    lens = (ctypes.c_size_t * batch)(*(len(b) for b in blobs))
+    out = np.empty((batch, size, size, 3), np.uint8)
+    ok = np.zeros((batch,), np.int32)
+    _decode_lib().decode_resize_u8_batch(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(lens, ctypes.POINTER(ctypes.c_size_t)),
+        batch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        size,
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return out, ok.astype(bool)

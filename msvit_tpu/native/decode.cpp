@@ -84,6 +84,45 @@ inline void resize_normalize_rgb(const uint8_t* src, int ih, int iw,
   }
 }
 
+// uint8 output variant of resize_normalize_rgb: same half-pixel bilinear
+// kernel, no normalization — for the wire-efficient host→device path
+// (uint8 is 4× smaller than f32; normalization runs on device where it
+// fuses into the patch-embedding matmul)
+inline void resize_rgb_u8(const uint8_t* src, int ih, int iw, uint8_t* dst,
+                          int s) {
+  std::vector<int> xi0(s), xi1(s);
+  std::vector<float> txs(s);
+  for (int x = 0; x < s; ++x) {
+    float fx = (x + 0.5f) * iw / s - 0.5f;
+    int x0 = std::max(0, std::min(iw - 1, (int)std::floor(fx)));
+    xi0[x] = x0 * 3;
+    xi1[x] = std::min(iw - 1, x0 + 1) * 3;
+    txs[x] = std::max(0.0f, std::min(1.0f, fx - x0));
+  }
+  for (int y = 0; y < s; ++y) {
+    float fy = (y + 0.5f) * ih / s - 0.5f;
+    int y0 = std::max(0, std::min(ih - 1, (int)std::floor(fy)));
+    int y1 = std::min(ih - 1, y0 + 1);
+    float ty = std::max(0.0f, std::min(1.0f, fy - y0));
+    const uint8_t* r0 = src + (size_t)y0 * iw * 3;
+    const uint8_t* r1 = src + (size_t)y1 * iw * 3;
+    uint8_t* drow = dst + (size_t)y * s * 3;
+    for (int x = 0; x < s; ++x) {
+      const uint8_t* a = r0 + xi0[x];
+      const uint8_t* b = r0 + xi1[x];
+      const uint8_t* c0 = r1 + xi0[x];
+      const uint8_t* d = r1 + xi1[x];
+      float wx = txs[x];
+      for (int c = 0; c < 3; ++c) {
+        float top = a[c] + (b[c] - (float)a[c]) * wx;
+        float bot = c0[c] + (d[c] - (float)c0[c]) * wx;
+        float v = top + (bot - top) * ty;
+        drow[x * 3 + c] = (uint8_t)std::max(0.0f, std::min(255.0f, v + 0.5f));
+      }
+    }
+  }
+}
+
 // decode one JPEG blob to RGB, DCT-downscaling toward target_min on the
 // shorter side; returns false on corrupt input
 bool decode_one(const uint8_t* blob, size_t len, int target_min,
@@ -147,6 +186,34 @@ void decode_preprocess_batch(const uint8_t** blobs, const size_t* lens,
           ok[i] = 1;
         } else {
           std::memset(out, 0, sizeof(float) * (size_t)s * s * 3);
+          ok[i] = 0;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// decode + resize to [B,s,s,3] uint8 (no normalization): the
+// wire-efficient variant for host→device transfer; pair with the
+// device-side `preprocess_on_device` normalize.
+void decode_resize_u8_batch(const uint8_t** blobs, const size_t* lens,
+                            int batch, uint8_t* dst, int s, int* ok) {
+  int n_threads = std::min<int>(batch, std::thread::hardware_concurrency());
+  n_threads = std::max(1, n_threads);
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) {
+    threads.emplace_back([=]() {
+      std::vector<uint8_t> rgb;
+      for (int i = t; i < batch; i += n_threads) {
+        int h = 0, w = 0;
+        uint8_t* out = dst + (size_t)i * s * s * 3;
+        if (decode_one(blobs[i], lens[i], s, rgb, &h, &w)) {
+          resize_rgb_u8(rgb.data(), h, w, out, s);
+          ok[i] = 1;
+        } else {
+          std::memset(out, 0, (size_t)s * s * 3);
           ok[i] = 0;
         }
       }

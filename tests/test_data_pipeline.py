@@ -140,3 +140,29 @@ def test_prefetch_propagates_worker_errors():
     next(it)
     with pytest.raises(RuntimeError, match="decode exploded"):
         list(it)
+
+
+def test_u8_wire_decode_matches_f32_path():
+    """decode_jpeg_images_u8 + preprocess_on_device == decode_jpeg_images
+    within uint8 rounding (the wire-efficient host→device format)."""
+    from msvit_tpu.data.pipeline import (
+        ImagePipelineConfig,
+        decode_jpeg_images,
+        decode_jpeg_images_u8,
+        preprocess_on_device,
+    )
+
+    blobs = _jpeg_blobs()
+    blobs.append(b"corrupt")  # exercises the PIL/zero fallback ladder too
+    cfg = ImagePipelineConfig(image_size=96)
+    u8 = decode_jpeg_images_u8(blobs, cfg)
+    assert u8.shape == (7, 96, 96, 3) and u8.dtype == np.uint8
+    on_dev = np.asarray(preprocess_on_device(jnp.asarray(u8), cfg))
+    ref = decode_jpeg_images(blobs, cfg)
+    # identical decode + identical resize kernel; only the uint8 rounding
+    # differs (±0.5 pixel level = 0.004 in normalized units)
+    assert float(np.abs(on_dev[:-1] - ref[:-1]).max()) < 0.02
+    # unreadable images: u8 wire yields black pixels (-1 normalized);
+    # the f32 path yields zeros in normalized space — documented delta
+    assert np.all(u8[-1] == 0)
+    assert np.abs(ref[-1]).sum() == 0
