@@ -186,8 +186,11 @@ def _kernel_int8(qkv_ref, sc_ref, o_ref, *, num_heads, scale):
             mx = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - mx)
             l = jnp.sum(p, axis=-1, keepdims=True)
-            # probs are in [0,1]: fixed 1/127 quantization scale
-            pq = jnp.clip(jnp.round(p * 127.0), 0.0, 127.0).astype(jnp.int8)
+            # probs are in [0,1] exactly (p = exp(s - max) <= 1), so
+            # p*127 <= 127 needs no clip, and a truncating cast replaces
+            # round (saves a full [N,N] VPU pass; ~8% kernel time —
+            # benchmarks/proto_packed_int8_r3.py; bias -0.5/254 per prob)
+            pq = (p * 127.0).astype(jnp.int8)
             o = jax.lax.dot_general(
                 pq, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
