@@ -212,6 +212,72 @@ def make_mxusum(tb=1, trunc_quant=False, fold127=False):
     return run
 
 
+def kernel_intmax(qkv_ref, sc_ref, o_ref, *, trunc_quant):
+    """Row max taken on the INT32 dot output (scale > 0 commutes with
+    max), so the f32 scores never materialize: the cast+scale+exp+quant
+    chain fuses into ONE elementwise pass from int32 input.  2 passes
+    over [N,N] instead of 3."""
+    tb = qkv_ref.shape[0]
+    s_q = sc_ref[0, 0]
+    s_k = sc_ref[0, 1]
+    s_v = sc_ref[0, 2]
+    for e in range(tb):
+        x = qkv_ref[e]
+        outs = []
+        for h in range(H):
+            q = x[:, h * DH : (h + 1) * DH]
+            k = x[:, D + h * DH : D + (h + 1) * DH]
+            v = x[:, 2 * D + h * DH : 2 * D + (h + 1) * DH]
+            si = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [N, N] int32
+            mxi = jnp.max(si, axis=-1, keepdims=True)
+            c = SCALE * s_q * s_k
+            p = jnp.exp((si - mxi).astype(jnp.float32) * c)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p127 = p * 127.0
+            if trunc_quant:
+                pq = p127.astype(jnp.int8)
+            else:
+                pq = jnp.clip(jnp.round(p127), 0.0, 127.0).astype(jnp.int8)
+            o = jax.lax.dot_general(
+                pq, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            l = jnp.where(l == 0.0, 1.0, l)
+            o = o * (s_v / 127.0) / l
+            outs.append(o.astype(o_ref.dtype))
+        o_ref[e] = jnp.concatenate(outs, axis=1)
+
+
+def make_intmax(tb=1, trunc_quant=False):
+    k = functools.partial(kernel_intmax, trunc_quant=trunc_quant)
+
+    @jax.jit
+    def run(qkv_q, sc):
+        return pl.pallas_call(
+            k,
+            grid=(B // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, N, 3 * D), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, N, D), jnp.bfloat16),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * H * N * N * DH,
+                bytes_accessed=B * N * 3 * D + B * N * D,
+                transcendentals=B * H * N * N,
+            ),
+        )(qkv_q, sc)
+
+    return run
+
+
 def make(tb=1, exp_bf16=False, trunc_quant=False, store_heads=False):
     k = functools.partial(
         kernel, exp_bf16=exp_bf16, trunc_quant=trunc_quant,
@@ -257,7 +323,7 @@ def main():
 
     ref = None
     results = {}
-    for name, kw in [
+    variants = [
         ("baseline (production: tb=1, f32 exp, round)", {}),
         ("tb=2", dict(tb=2)),
         ("tb=4", dict(tb=4)),
@@ -270,13 +336,26 @@ def main():
         ("tb=8 + bf16 exp + trunc + head stores",
          dict(tb=8, exp_bf16=True, trunc_quant=True, store_heads=True)),
         ("tb=4 + trunc", dict(tb=4, trunc_quant=True)),
+        ("int32 row max", dict(_intmax=True)),
+        ("int32 row max + trunc", dict(_intmax=True, trunc_quant=True)),
         ("mxu-sum", dict(_mxu=True)),
         ("mxu-sum + trunc", dict(_mxu=True, trunc_quant=True)),
         ("mxu-sum + trunc + fold127",
          dict(_mxu=True, trunc_quant=True, fold127=True)),
         ("baseline again (drift check)", {}),
-    ]:
-        if kw.pop("_mxu", False):
+    ]
+    if os.environ.get("SWEEP_SHORT"):
+        variants = [
+            ("baseline", {}),
+            ("trunc quant", dict(trunc_quant=True)),
+            ("int32 row max", dict(_intmax=True)),
+            ("int32 row max + trunc", dict(_intmax=True, trunc_quant=True)),
+            ("baseline again (drift check)", {}),
+        ]
+    for name, kw in variants:
+        if kw.pop("_intmax", False):
+            run = make_intmax(**kw)
+        elif kw.pop("_mxu", False):
             run = make_mxusum(**kw)
         elif kw.pop("_3d", False):
             run = make_3d(**kw)
