@@ -141,12 +141,15 @@ def multi_head_attention(
     """Dispatching attention front end used by all encoder families."""
     if implementation == "auto":
         # Measured on v5e (tests/test_fused_attention.py + benchmarks):
-        # the single-pass fused Pallas kernel wins at this framework's
-        # short sequences (scores tile lives in VMEM only); the online-
+        # below ~512 kv tokens the custom-call boundary costs more than
+        # the kernels save end-to-end (ViT-B @197: XLA trains 568 vs 520
+        # img/s, benchmarks/bench_train.py) — XLA.  Above, the
+        # single-pass fused Pallas kernel wins (scores tile lives in
+        # VMEM only; multistate @816 is 18% faster e2e); the online-
         # softmax flash kernel takes over when the scores tile exceeds
         # VMEM (it beats XLA there too — benchmarks/RESULTS.md attention
         # table); XLA whenever probabilities are requested.
-        if output_probs or not _on_tpu():
+        if output_probs or not _on_tpu() or k.shape[-2] < 512:
             implementation = "xla"
         elif _fused_eligible(q, k, mask) and _kernel_shapes_ok(
             q, k, mask, allow_float_mask=True

@@ -370,7 +370,7 @@ def flash_attention_bwd(
     v: jnp.ndarray,
     out: jnp.ndarray,  # saved forward output [B,H,Nq,Dh]
     g: jnp.ndarray,  # cotangent of out
-    lse: jnp.ndarray,  # [B,H,Nq_pad,128] f32 (padded, lane-replicated)
+    lse: jnp.ndarray,  # [B,H,Nq] f32 (compact) or [B,H,Nq_pad,128]
     mask: Optional[jnp.ndarray],
     scale: float,
     mask_value: float,
@@ -379,14 +379,21 @@ def flash_attention_bwd(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pallas flash backward (dq, dk, dv).  Also used by the single-pass
     fused kernel (`ops/fused_attention.py`), whose forward emits the same
-    lse layout."""
+    lse layout.
+
+    `lse` is normally the COMPACT [B,H,Nq] residual (the lane-replicated
+    kernel layout is rebuilt here transiently — storing it across the
+    fwd/bwd gap costs 128× the HBM); a raw lane-replicated kernel output
+    is also accepted."""
     b, h, nq, dh = q.shape
     nk = k.shape[2]
     bq, bk, nq_pad, nk_pad = _block_sizes(nq, nk, block_q, block_k)
-    # the producer (flash or fused forward) may have padded Nq differently;
-    # renormalize.  lse = 0 on padded rows is safe: padded q rows are zero,
-    # so p = exp(0 − 0) ≤ 1 and their dO is zero.
+    # lse = 0 on padded rows is safe: padded q rows are zero, so
+    # p = exp(0 − 0) ≤ 1 and their dO is zero.
+    if lse.ndim == 4:  # raw kernel output [B,H,Nq_pad,128]
+        lse = lse[:, :, :, 0]
     lse = _pad_axis(lse[:, :, :nq], 2, nq_pad)
+    lse = jnp.broadcast_to(lse[..., None], (b, h, nq_pad, _LANES))
 
     qp = _pad_axis(q, 2, nq_pad)
     kp = _pad_axis(k, 2, nk_pad)
@@ -510,7 +517,12 @@ def _flash_fwd(q, k, v, mask, scale, mask_value):
     out, lse = _flash_forward(
         q, k, v, mask, scale=scale, mask_value=mask_value, with_lse=True
     )
-    return out, (q, k, v, mask, out, lse)
+    # save the residual COMPACT ([B,H,Nq] — one lane): the kernel's
+    # lane-replicated [B,H,Nq_pad,128] f32 would cost 128× the HBM
+    # (402 MB/layer at ViT-B bs256 — OOMs a 12-layer no-remat train
+    # step); the backward re-broadcasts transiently.
+    nq = q.shape[2]
+    return out, (q, k, v, mask, out, lse[:, :, :nq, 0])
 
 
 def _flash_bwd(scale, mask_value, residuals, g):

@@ -202,7 +202,11 @@ def _fused(q, k, v, mask, scale, mask_value):
 
 def _fused_fwd(q, k, v, mask, scale, mask_value):
     out, lse = _fused_forward(q, k, v, mask, scale, mask_value, with_lse=True)
-    return out, (q, k, v, mask, out, lse)
+    # compact [B,H,Nq] residual — see flash_attention_bwd docstring
+    # (the lane-replicated layout costs 128× the HBM across the
+    # fwd/bwd gap; 402 MB/layer at ViT-B bs256)
+    nq = q.shape[2]
+    return out, (q, k, v, mask, out, lse[:, :, :nq, 0])
 
 
 def _fused_bwd(scale, mask_value, res, g):
