@@ -30,7 +30,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from msvit_tpu.ops.fps import farthest_point_sampling
+from msvit_tpu.ops.fps import farthest_point_sampling_blocked
 from msvit_tpu.ops.kmeans import kmeans
 from msvit_tpu.ops.linalg import pca_lowrank
 from msvit_tpu.ops.ncut import ncut
@@ -76,6 +76,8 @@ class FPSClusteringConfig(ClusteringConfig):
     cosine_similarity_threshold: float = 0.7
     ncut_dist: str = "cosine"
     affinity_focal_gamma: float = 3.0
+    eig_method: str = "subspace"  # see SpectralClusteringConfig
+    eig_iters: int = 12
 
 
 @dataclasses.dataclass(frozen=True)
@@ -244,10 +246,17 @@ def fps_cluster(
         num_sample=config.num_sample,
         distance=config.ncut_dist,
         gamma=config.affinity_focal_gamma,
+        eig_method=config.eig_method,
+        eig_iters=config.eig_iters,
     )  # [BN, ncut_dim]
 
     pca_x, _, _ = pca_lowrank(ncut_x, config.fps_dim)
-    s1_idx = farthest_point_sampling(pca_x, config.fps_sample1, key=k_f1)
+    # blocked (G-way parallel) FPS: these selections only seed
+    # candidates that the cosine-score step filters, and exact FPS's
+    # serial chain dominated the forward (ops/fps.py)
+    s1_idx = farthest_point_sampling_blocked(
+        pca_x, config.fps_sample1, key=k_f1
+    )
     s1 = ncut_x[s1_idx]  # [s1, ncut_dim]
 
     def _norm(v):
@@ -258,7 +267,9 @@ def fps_cluster(
         jnp.std(sim, -1, keepdims=True) + 1e-8
     )
     s1_pca, _, _ = pca_lowrank(sim_std, config.fps_dim)
-    ss2_idx = farthest_point_sampling(s1_pca, config.fps_supersample2, key=k_f2)
+    ss2_idx = farthest_point_sampling_blocked(
+        s1_pca, config.fps_supersample2, key=k_f2
+    )
     ss2 = s1[ss2_idx]  # [ss2, ncut_dim]
 
     sim2 = _norm(ss2) @ _norm(ncut_x).T  # [ss2, BN]

@@ -53,3 +53,61 @@ def farthest_point_sampling(
 
     idx, _ = jax.lax.fori_loop(1, k, body, (init_idx, init_min))
     return idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "groups"))
+def farthest_point_sampling_blocked(
+    x: jnp.ndarray,  # [n, d]
+    k: int,
+    key: Optional[jax.Array] = None,
+    mask: Optional[jnp.ndarray] = None,  # [n] bool
+    groups: int = 8,
+) -> jnp.ndarray:
+    """Approximate FPS with G-way parallel greedy chains.
+
+    Exact FPS is a length-k serial dependency chain of tiny ops — poison
+    on TPU (each step is an argmax + one matvec; the chain dominated the
+    fps-clustering forward).  Here the points are partitioned SPATIALLY
+    (contiguous buckets of the first-coordinate sort — callers pass
+    PCA-ed data, so coordinate 0 is the principal direction) and exact
+    FPS(k/groups) runs vmapped (parallel) within each bucket: serial
+    depth k/G instead of k, and disjoint regions keep the union
+    complementary (a random partition makes every group pick the same
+    global extremes — measured 10/16 cluster coverage vs 14-16/16
+    spatial, 16/16 exact).  Appropriate when FPS seeds *candidates* that
+    a downstream scoring step filters (the fps-clustering pipeline,
+    `models/clustering/module.py::fps_cluster`); use
+    `farthest_point_sampling` when exact max-min order matters."""
+    n = x.shape[0]
+    g = groups
+    while k % g:
+        g //= 2
+    if g <= 1:
+        return farthest_point_sampling(x, k, key=key, mask=mask)
+    member = jnp.ones((n,), bool) if mask is None else mask.astype(bool)
+
+    # masked-out points sort to the end and land in the last buckets,
+    # where the per-group mask removes them
+    sort_key = jnp.where(member, x[:, 0].astype(jnp.float32), jnp.inf)
+    perm = jnp.argsort(sort_key)
+    n_pad = -(-n // g) * g
+    perm_p = jnp.concatenate([perm, perm[: n_pad - n]])  # wrap-pad
+    xg = x[perm_p].reshape(g, n_pad // g, -1)
+    mg = member[perm_p].reshape(g, n_pad // g)
+    # wrap-padded duplicates: mask them out of their second occurrence
+    dup = jnp.arange(n_pad) >= n
+    mg = mg & ~dup.reshape(g, n_pad // g)
+
+    keys = (
+        jax.random.split(key, g) if key is not None else [None] * g
+    )
+
+    def one(xb, mb, kb):
+        return farthest_point_sampling(xb, k // g, key=kb, mask=mb)
+
+    if key is not None:
+        sub = jax.vmap(one)(xg, mg, jnp.stack(list(keys)))
+    else:
+        sub = jax.vmap(lambda xb, mb: one(xb, mb, None))(xg, mg)
+    flat = sub + (jnp.arange(g) * (n_pad // g))[:, None]  # [g, k/g]
+    return perm_p[flat.reshape(-1)]

