@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 
 from msvit_tpu.models.base.config import BaseViTConfig
-from msvit_tpu.ops.attention import multi_head_attention
+from msvit_tpu.ops.attention import _on_tpu, multi_head_attention
+
+
+def _packed_available() -> bool:
+    return _on_tpu()
 
 
 def trunc_normal_init(std: float):
@@ -67,6 +71,46 @@ class BaseViTSelfAttention(nn.Module):
         )
 
         x = hidden_states.astype(compute)
+
+        # Packed fast path (plain self-attention, the bf16 serving/trunk
+        # case): consume the QKV GEMM output directly in [B, N, 3D]
+        # layout via the packed Pallas kernel — the conventional
+        # [B,H,N,64] operands have a 64-element minor dim that cripples
+        # HBM DMA on v5e (ops/packed_attention.py; 3.7 vs 8.3 ms/layer
+        # at ViT-B bs512, 1648→2073 img/s e2e bf16).
+        if (
+            cfg.attn_implementation in ("auto", "packed")
+            and context_states is None
+            and not output_attentions
+            and attention_mask is None
+            and x.ndim == 3
+            and x.shape[-2] <= 1024
+            and _packed_available()
+        ):
+            from msvit_tpu.ops.packed_attention import packed_attention
+
+            wp = w_qkv.astype(compute).reshape(d, 3 * h * dh)
+            qkvp = x @ wp
+            if b_qkv is not None:
+                qkvp = qkvp + b_qkv.astype(compute).reshape(3 * h * dh)
+            out = packed_attention(qkvp, h)
+            if cfg.attention_probs_dropout_prob > 0.0 and not deterministic:
+                out = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                    out, deterministic=deterministic
+                )
+            out = nn.Dense(
+                d,
+                kernel_init=trunc_normal_init(cfg.initializer_range),
+                dtype=compute,
+                param_dtype=cfg.policy.param,
+                name="output_dense",
+            )(out)
+            if cfg.hidden_dropout_prob > 0.0:
+                out = nn.Dropout(cfg.hidden_dropout_prob)(
+                    out, deterministic=deterministic
+                )
+            return out, None
+
         qkv = jnp.einsum("...nd,dthe->t...hne", x, w_qkv.astype(compute))
         if b_qkv is not None:
             qkv = qkv + b_qkv.astype(compute).reshape(

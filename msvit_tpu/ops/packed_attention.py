@@ -18,8 +18,10 @@ Semantics match `ops.attention.xla_attention` restricted to self-attention
 (Nk == Nq): bool masks mean "True = may attend", float masks are additive
 (reference `modeling_base.py:89-93`).  Softmax statistics in f32.
 
-Backward is an XLA recompute (like ops/fused_attention.py) — this kernel
-targets the serving path; training-time memory is handled by remat.
+Backward: the forward emits a per-head logsumexp residual and the
+shared Pallas dQ/dKV kernels (ops/flash_attention.py) rebuild
+probability tiles from it — O(N²) never hits HBM in training either.
+(The int8 variant is inference-only.)
 """
 
 from __future__ import annotations
@@ -35,12 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from msvit_tpu.ops.attention import DEFAULT_MASK_VALUE, xla_attention
 
 
-def _kernel(qkv_ref, o_ref, *, num_heads, scale, mask_value):
-    _kernel_masked(qkv_ref, None, o_ref, num_heads=num_heads, scale=scale,
-                   mask_value=mask_value)
-
-
-def _kernel_masked(qkv_ref, mask_ref, o_ref, *, num_heads, scale, mask_value):
+def _kernel_masked(qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, scale,
+                   mask_value):
     tb = qkv_ref.shape[0]
     d3 = qkv_ref.shape[-1]
     d = d3 // 3
@@ -72,15 +70,20 @@ def _kernel_masked(qkv_ref, mask_ref, o_ref, *, num_heads, scale, mask_value):
             )
             # defer the 1/l normalization to the [N, dh] output (3x fewer
             # divisions than normalizing the [N, N] probs)
-            l = jnp.where(l == 0.0, 1.0, l)
-            outs.append((o / l).astype(o_ref.dtype))
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            outs.append((o / l_safe).astype(o_ref.dtype))
+            if lse_ref is not None:
+                lse_ref[e, h] = jnp.where(l > 0.0, mx + jnp.log(l_safe), 0.0)
         o_ref[e] = jnp.concatenate(outs, axis=1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "mask_value", "block_b")
+    jax.jit,
+    static_argnames=("num_heads", "scale", "mask_value", "block_b",
+                     "with_lse"),
 )
-def _packed_forward(qkv, mask, num_heads, scale, mask_value, block_b=1):
+def _packed_forward(qkv, mask, num_heads, scale, mask_value, block_b=1,
+                    with_lse=False):
     b, n, d3 = qkv.shape
     d = d3 // 3
     while b % block_b:
@@ -90,7 +93,8 @@ def _packed_forward(qkv, mask, num_heads, scale, mask_value, block_b=1):
         pl.BlockSpec((block_b, n, d3), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
     ]
-    if mask is not None:
+    has_mask = mask is not None
+    if has_mask:
         hm = mask.shape[1]
         mdtype = jnp.bool_ if mask.dtype == jnp.bool_ else jnp.float32
         mb = jnp.broadcast_to(mask.astype(mdtype), (b, hm, n, n))
@@ -99,21 +103,37 @@ def _packed_forward(qkv, mask, num_heads, scale, mask_value, block_b=1):
                          memory_space=pltpu.VMEM)
         )
         operands.append(mb)
-        kernel = functools.partial(
-            _kernel_masked, num_heads=num_heads, scale=scale,
-            mask_value=mask_value,
+
+    def kernel(*refs):
+        qr = refs[0]
+        mr = refs[1] if has_mask else None
+        n_in = 2 if has_mask else 1
+        o_r = refs[n_in]
+        l_r = refs[n_in + 1] if with_lse else None
+        _kernel_masked(qr, mr, o_r, l_r, num_heads=num_heads, scale=scale,
+                       mask_value=mask_value)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, n, d), qkv.dtype)]
+    out_specs = [
+        pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if with_lse:
+        # per-head logsumexp [B, H, N, 1] f32 (minor dim 1: tiny tensor,
+        # lane padding is irrelevant) — the flash backward residual
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, num_heads, n, 1), jnp.float32)
         )
-    else:
-        kernel = functools.partial(
-            _kernel, num_heads=num_heads, scale=scale, mask_value=mask_value
+        out_specs.append(
+            pl.BlockSpec((block_b, num_heads, n, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
         )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(b // block_b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * n * n * (d // num_heads),
             bytes_accessed=qkv.size * 2 + b * n * d * 2,
@@ -121,6 +141,9 @@ def _packed_forward(qkv, mask, num_heads, scale, mask_value, block_b=1):
         ),
         interpret=jax.devices()[0].platform != "tpu",
     )(*operands)
+    if with_lse:
+        return outs[0], outs[1][..., 0]  # out, lse [B,H,N]
+    return outs[0] if isinstance(outs, (list, tuple)) else outs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -139,17 +162,81 @@ def _xla_reference(qkv, mask, num_heads, scale, mask_value):
 
 
 def _packed_fwd(qkv, mask, num_heads, scale, mask_value):
-    return _packed(qkv, mask, num_heads, scale, mask_value), (qkv, mask)
+    out, lse = _packed_forward(
+        qkv, mask, num_heads, scale, mask_value, with_lse=True
+    )
+    return out, (qkv, mask, out, lse)
+
+
+def _unpack(qkv, num_heads):
+    """[B, N, 3D] → q, k, v each [B, H, N, dh]."""
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    t = qkv.reshape(b, n, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    return t[0], t[1], t[2]
 
 
 def _packed_bwd(num_heads, scale, mask_value, res, g):
-    qkv, mask = res
+    """Backward from the saved per-head lse — no softmax-stat recompute.
 
-    def ref(qkv_):
-        return _xla_reference(qkv_, mask, num_heads, scale, mask_value)
+    Two regimes (chosen at trace time from the static N):
+    * N < 512: closed-form XLA math (rebuild p = exp(s − lse), standard
+      five-matmul attention backward).  At short sequences the Pallas
+      custom-call boundary loses to XLA's fusion (ViT-B train: 566 vs
+      491 img/s — benchmarks/bench_train.py), and the transient
+      [B,H,N,N] is what XLA autodiff would allocate anyway.
+    * N ≥ 512: the shared Pallas flash dQ/dKV kernels
+      (ops/flash_attention.py) — O(N²) never hits HBM.
+    The r2 XLA-*recompute* backward (re-running a full forward) is gone
+    either way."""
+    qkv, mask, out, lse = res
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    q, k, v = _unpack(qkv, num_heads)
+    o4 = out.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+    g4 = g.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
 
-    _, vjp = jax.vjp(ref, qkv)
-    (dqkv,) = vjp(g)
+    if n >= 512:
+        from msvit_tpu.ops.flash_attention import flash_attention_bwd
+
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, o4, g4, lse, mask, scale=scale, mask_value=mask_value
+        )
+    else:
+        f32 = jnp.float32
+        s = jnp.einsum(
+            "bhqe,bhke->bhqk", q, k, preferred_element_type=f32
+        ) * scale
+        if mask is not None:
+            if mask.dtype == jnp.bool_:
+                s = jnp.where(mask, s, mask_value)
+            else:
+                s = s + mask.astype(f32)
+        p = jnp.exp(s - lse[..., None])  # [B,H,N,N]
+        g32 = g4.astype(f32)
+        dv = jnp.einsum("bhqk,bhqe->bhke", p, g32, preferred_element_type=f32)
+        dp = jnp.einsum(
+            "bhqe,bhke->bhqk", g32, v.astype(f32), preferred_element_type=f32
+        )
+        delta = jnp.sum(g32 * o4.astype(f32), axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq = jnp.einsum(
+            "bhqk,bhke->bhqe", ds, k.astype(f32), preferred_element_type=f32
+        ) * scale
+        dk = jnp.einsum(
+            "bhqk,bhqe->bhke", ds, q.astype(f32), preferred_element_type=f32
+        ) * scale
+
+    dqkv = (
+        jnp.stack(
+            [dq.astype(qkv.dtype), dk.astype(qkv.dtype), dv.astype(qkv.dtype)],
+            axis=0,
+        )  # [3, B, H, N, dh]
+        .transpose(1, 3, 0, 2, 4)  # [B, N, 3, H, dh]
+        .reshape(b, n, d3)
+    )
     return dqkv, None
 
 
