@@ -78,17 +78,26 @@ class BaseViTSelfAttention(nn.Module):
         # [B,H,N,64] operands have a 64-element minor dim that cripples
         # HBM DMA on v5e (ops/packed_attention.py; 3.7 vs 8.3 ms/layer
         # at ViT-B bs512, 1648→2073 img/s e2e bf16).
-        if (
+        use_packed = (
             cfg.attn_implementation in ("auto", "packed")
             and context_states is None
             and not output_attentions
             and attention_mask is None
             and x.ndim == 3
-            and x.shape[-2] <= 1024
             and _packed_available()
-        ):
-            from msvit_tpu.ops.packed_attention import packed_attention
+        )
+        if use_packed:
+            from msvit_tpu.ops.packed_attention import (
+                packed_attention,
+                packed_vmem_ok,
+            )
 
+            # the kernel holds every head's [N,N] scores in VMEM at once;
+            # beyond the budget fall back to fused/flash (grid over heads)
+            use_packed = packed_vmem_ok(
+                x.shape[-2], d, h, elem_bytes=jnp.dtype(compute).itemsize
+            )
+        if use_packed:
             wp = w_qkv.astype(compute).reshape(d, 3 * h * dh)
             qkvp = x @ wp
             if b_qkv is not None:

@@ -351,6 +351,27 @@ def packed_attention_int8(
     )(qkv_q, sc)
 
 
+def packed_vmem_ok(
+    n: int, d: int, num_heads: int, elem_bytes: int = 2,
+    has_mask: bool = False, limit: int = 14 * 1024 * 1024,
+) -> bool:
+    """Whether the packed kernel's per-program VMEM footprint fits.
+
+    Mosaic stacks every head's [N,N] f32 scores concurrently (the python
+    head loop creates H independent dataflow chains — measured 44.9 MB
+    at [8,12,816]: 12×2.66 MB scores + double-buffered operands, vs the
+    16 MB scoped limit).  Callers should fall back to the fused/flash
+    kernels (grid over heads) beyond this."""
+
+    def pad(x, m):
+        return -(-x // m) * m
+
+    scores = num_heads * pad(n, 8) * pad(n, 128) * 4
+    io = 2 * (n * 3 * d + n * d) * elem_bytes  # double-buffered qkv + out
+    m_bytes = 2 * pad(n, 8) * pad(n, 128) * 4 if has_mask else 0
+    return scores + io + m_bytes <= limit
+
+
 def packed_attention(
     qkv: jnp.ndarray,
     num_heads: int,
