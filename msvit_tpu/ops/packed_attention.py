@@ -146,9 +146,142 @@ def _packed_forward(qkv, mask, num_heads, scale, mask_value, block_b=1,
     return outs[0] if isinstance(outs, (list, tuple)) else outs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "mask_value", "head_group",
+                     "with_lse"),
+)
+def _packed_forward_grouped(qkv, mask, num_heads, scale, mask_value,
+                            head_group=2, with_lse=False):
+    """Head-grouped packed forward for the mid-length regime (~512-1024
+    tokens): grid (B, H/hg), each program holding only `head_group`
+    heads' [N,N] scores in VMEM (the all-heads kernel stacks H of them —
+    44.9 MB at 816 tokens).  `head_group * dh` must be a lane multiple
+    (128), so hg=2 for dh=64.  The qkv operand is viewed [B, N, 3, D] so
+    a program's q|k|v columns are one contiguous lane block."""
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    hg = head_group
+    gw = hg * dh  # lane width per program
+    qkv4 = qkv.reshape(b, n, 3, d)
+    operands = [qkv4]
+    in_specs = [
+        pl.BlockSpec((1, n, 3, gw), lambda i, g: (i, 0, 0, g),
+                     memory_space=pltpu.VMEM)
+    ]
+    has_mask = mask is not None
+    if has_mask:
+        hm = mask.shape[1]
+        mdtype = jnp.bool_ if mask.dtype == jnp.bool_ else jnp.float32
+        mb = jnp.broadcast_to(mask.astype(mdtype), (b, hm, n, n))
+        if hm == 1:
+            mspec = pl.BlockSpec((1, 1, n, n), lambda i, g: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        else:
+            mspec = pl.BlockSpec((1, hg, n, n), lambda i, g: (i, g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs.append(mspec)
+        operands.append(mb)
+
+    def kernel(*refs):
+        qr = refs[0]
+        mr = refs[1] if has_mask else None
+        n_in = 2 if has_mask else 1
+        o_r = refs[n_in]
+        l_r = refs[n_in + 1] if with_lse else None
+        x = qr[0]  # [N, 3, gw]
+        outs = []
+        for h in range(hg):
+            q = x[:, 0, h * dh : (h + 1) * dh]
+            k = x[:, 1, h * dh : (h + 1) * dh]
+            v = x[:, 2, h * dh : (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mr is not None:
+                m = mr[0, h if mr.shape[1] > 1 else 0]
+                if m.dtype == jnp.bool_:
+                    s = jnp.where(m, s, mask_value)
+                else:
+                    s = s + m.astype(jnp.float32)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            outs.append((o / l_safe).astype(o_r.dtype))
+            if l_r is not None:
+                l_r[0, h] = jnp.where(l > 0.0, mx + jnp.log(l_safe), 0.0)
+        o_r[0] = jnp.concatenate(outs, axis=1)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, n, d), qkv.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, n, gw), lambda i, g: (i, 0, g),
+                     memory_space=pltpu.VMEM)
+    ]
+    if with_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, num_heads, n, 1), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, hg, n, 1), lambda i, g: (i, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, num_heads // hg),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * dh,
+            bytes_accessed=qkv.size * 2 + b * n * d * 2,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(*operands)
+    if with_lse:
+        return outs[0], outs[1][..., 0]
+    return outs[0] if isinstance(outs, (list, tuple)) else outs
+
+
+def grouped_vmem_ok(
+    n: int, d: int, num_heads: int, elem_bytes: int = 2,
+    has_mask: bool = False, head_group: int = 2,
+    limit: int = 14 * 1024 * 1024,
+) -> bool:
+    """VMEM fit for the head-grouped packed kernel (hg heads' scores +
+    one lane-group of qkv/out, double-buffered)."""
+    if (head_group * (d // num_heads)) % 128:
+        return False
+    if num_heads % head_group:
+        return False
+
+    def pad(x, m):
+        return -(-x // m) * m
+
+    scores = head_group * pad(n, 8) * pad(n, 128) * 4
+    gw = head_group * (d // num_heads)
+    io = 2 * (n * 3 * gw + n * gw) * elem_bytes
+    m_bytes = 2 * pad(n, 8) * pad(n, 128) * 4 if has_mask else 0
+    return scores + io + m_bytes <= limit
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _packed(qkv, mask, num_heads, scale, mask_value):
-    return _packed_forward(qkv, mask, num_heads, scale, mask_value)
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    if packed_vmem_ok(
+        n, d, num_heads, elem_bytes=qkv.dtype.itemsize,
+        has_mask=mask is not None,
+    ):
+        return _packed_forward(qkv, mask, num_heads, scale, mask_value)
+    return _packed_forward_grouped(qkv, mask, num_heads, scale, mask_value)
 
 
 def _xla_reference(qkv, mask, num_heads, scale, mask_value):
@@ -162,9 +295,18 @@ def _xla_reference(qkv, mask, num_heads, scale, mask_value):
 
 
 def _packed_fwd(qkv, mask, num_heads, scale, mask_value):
-    out, lse = _packed_forward(
-        qkv, mask, num_heads, scale, mask_value, with_lse=True
-    )
+    b, n, d3 = qkv.shape
+    if packed_vmem_ok(
+        n, d3 // 3, num_heads, elem_bytes=qkv.dtype.itemsize,
+        has_mask=mask is not None,
+    ):
+        out, lse = _packed_forward(
+            qkv, mask, num_heads, scale, mask_value, with_lse=True
+        )
+    else:
+        out, lse = _packed_forward_grouped(
+            qkv, mask, num_heads, scale, mask_value, with_lse=True
+        )
     return out, (qkv, mask, out, lse)
 
 
