@@ -199,31 +199,56 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded put so the worker notices when the consumer abandons
+        # the generator (close/GC) instead of pinning `buffer_size`
+        # device batches forever on a blocked q.put.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
+                if stop.is_set():
+                    return
                 item = {
                     k: (jax.device_put(v, device) if isinstance(v, np.ndarray) else v)
                     for k, v in item.items()
                 }
                 if transform is not None:
                     item = transform(item)
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # Drain so a worker blocked mid-put can observe the stop event.
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def load_image_batches(
@@ -274,7 +299,16 @@ def load_image_batches(
                 labels.append(row[label_key])
             if len(images) == batch_size:
                 if native_decode:
-                    blobs = [im["bytes"] for im in images]
+                    # File-backed HF datasets (e.g. imagefolder) yield
+                    # {"bytes": None, "path": ...} under decode=False —
+                    # read those files off disk instead of decoding None.
+                    blobs = []
+                    for im in images:
+                        b = im.get("bytes")
+                        if b is None and im.get("path"):
+                            with open(im["path"], "rb") as f:
+                                b = f.read()
+                        blobs.append(b if b is not None else b"")
                     pix = (
                         decode_jpeg_images_u8(blobs, config)
                         if u8_wire

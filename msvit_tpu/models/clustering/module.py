@@ -64,6 +64,10 @@ class SpectralClusteringConfig(ClusteringConfig):
     # magnitude slower when batched; use for parity checks).
     eig_method: str = "subspace"
     eig_iters: int = 12
+    # MXU input dtype for the NCut affinity cross-products; "" = derive
+    # from eig_method (float32 for the exact "eigh" parity path, bfloat16
+    # for the production "subspace" path — see ops/ncut.py::_cross)
+    matmul_dtype: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +82,7 @@ class FPSClusteringConfig(ClusteringConfig):
     affinity_focal_gamma: float = 3.0
     eig_method: str = "subspace"  # see SpectralClusteringConfig
     eig_iters: int = 12
+    matmul_dtype: str = ""  # see SpectralClusteringConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +91,17 @@ class AxisAlignClusteringConfig(ClusteringConfig):
     temperature: float = 1.0
     ncut_dist: str = "cosine"
     affinity_focal_gamma: float = 3.0
+
+
+def _ncut_matmul_dtype(config: ClusteringConfig) -> str:
+    """Affinity MXU dtype: explicit config wins; otherwise f32 whenever the
+    exact `eigh` path (documented as the parity mode) is selected, so f32
+    parity checks don't silently run bf16 affinities."""
+    md = getattr(config, "matmul_dtype", "")
+    if md:
+        return md
+    exact = getattr(config, "eig_method", "subspace") == "eigh"
+    return "float32" if exact else "bfloat16"
 
 
 def _spectral_single(
@@ -126,6 +142,7 @@ def _spectral_single(
             mask=m,
             eig_method=config.eig_method,
             eig_iters=config.eig_iters,
+            matmul_dtype=_ncut_matmul_dtype(config),
         )
     )(member, k_ncut)  # [C, M, e], [C, e]
 
@@ -248,6 +265,7 @@ def fps_cluster(
         gamma=config.affinity_focal_gamma,
         eig_method=config.eig_method,
         eig_iters=config.eig_iters,
+        matmul_dtype=_ncut_matmul_dtype(config),
     )  # [BN, ncut_dim]
 
     pca_x, _, _ = pca_lowrank(ncut_x, config.fps_dim)

@@ -272,16 +272,30 @@ def grouped_vmem_ok(
     return scores + io + m_bytes <= limit
 
 
+def _dispatch_variant(qkv, mask, num_heads) -> str:
+    """Pick the packed variant that fits VMEM: 'packed' (all heads),
+    'grouped' (2 heads/program), or 'xla' when even the grouped kernel's
+    scores exceed the 16MB scope (e.g. direct calls at N > ~1500 —
+    without this gate such calls die at Mosaic compile time)."""
+    n, d3 = qkv.shape[1], qkv.shape[2]
+    d = d3 // 3
+    eb = qkv.dtype.itemsize
+    has_mask = mask is not None
+    if packed_vmem_ok(n, d, num_heads, elem_bytes=eb, has_mask=has_mask):
+        return "packed"
+    if grouped_vmem_ok(n, d, num_heads, elem_bytes=eb, has_mask=has_mask):
+        return "grouped"
+    return "xla"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _packed(qkv, mask, num_heads, scale, mask_value):
-    b, n, d3 = qkv.shape
-    d = d3 // 3
-    if packed_vmem_ok(
-        n, d, num_heads, elem_bytes=qkv.dtype.itemsize,
-        has_mask=mask is not None,
-    ):
+    variant = _dispatch_variant(qkv, mask, num_heads)
+    if variant == "packed":
         return _packed_forward(qkv, mask, num_heads, scale, mask_value)
-    return _packed_forward_grouped(qkv, mask, num_heads, scale, mask_value)
+    if variant == "grouped":
+        return _packed_forward_grouped(qkv, mask, num_heads, scale, mask_value)
+    return _xla_reference(qkv, mask, num_heads, scale, mask_value)
 
 
 def _xla_reference(qkv, mask, num_heads, scale, mask_value):
@@ -294,19 +308,40 @@ def _xla_reference(qkv, mask, num_heads, scale, mask_value):
     return jnp.swapaxes(out, 1, 2).reshape(b, n, d)
 
 
-def _packed_fwd(qkv, mask, num_heads, scale, mask_value):
+def _xla_forward_lse(qkv, mask, num_heads, scale, mask_value):
+    """Plain-XLA packed forward that also emits the per-head lse residual
+    (for the shared `_packed_bwd`); the VMEM-overflow fallback."""
     b, n, d3 = qkv.shape
-    if packed_vmem_ok(
-        n, d3 // 3, num_heads, elem_bytes=qkv.dtype.itemsize,
-        has_mask=mask is not None,
-    ):
+    d = d3 // 3
+    q, k, v = _unpack(qkv, num_heads)
+    s = jnp.einsum(
+        "bhqe,bhke->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            s = jnp.where(mask, s, mask_value)
+        else:
+            s = s + mask.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(s, axis=-1)
+    p = jnp.exp(s - lse[..., None])
+    o = jnp.einsum("bhqk,bhke->bhqe", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    out = jnp.swapaxes(o, 1, 2).reshape(b, n, d).astype(qkv.dtype)
+    return out, lse
+
+
+def _packed_fwd(qkv, mask, num_heads, scale, mask_value):
+    variant = _dispatch_variant(qkv, mask, num_heads)
+    if variant == "packed":
         out, lse = _packed_forward(
             qkv, mask, num_heads, scale, mask_value, with_lse=True
         )
-    else:
+    elif variant == "grouped":
         out, lse = _packed_forward_grouped(
             qkv, mask, num_heads, scale, mask_value, with_lse=True
         )
+    else:
+        out, lse = _xla_forward_lse(qkv, mask, num_heads, scale, mask_value)
     return out, (qkv, mask, out, lse)
 
 

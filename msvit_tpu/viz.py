@@ -21,18 +21,22 @@ import numpy as np
 
 
 def color(z: float, scale: float = 120.0) -> np.ndarray:
-    """Cyclic RGB colormap (reference `utils.py:510-512`)."""
-    k = 2 * np.pi * z / scale
-    return (
-        1
-        + np.asarray(
-            [np.sin(k), np.sin(k + 2 * np.pi / 3), np.sin(k + 4 * np.pi / 3)]
-        )
-    ) / 2
+    """Cyclic RGB colormap matching the reference's cluster-id palette
+    (`utils.py:510-512`): three phase-shifted sinusoids mapped to [0, 1].
+    Implemented here via a single phase vector rather than three calls."""
+    k = 2.0 * np.pi * z / scale
+    phases = k + (2.0 * np.pi / 3.0) * np.arange(3)
+    return 0.5 * (1.0 + np.sin(phases))
 
 
 def confidence_ellipse(x, y, ax, n_std: float = 1.0, facecolor="none", **kwargs):
-    """Covariance confidence ellipse (reference `utils.py:515-558`)."""
+    """Covariance confidence ellipse.
+
+    Derived from the standard matplotlib gallery recipe
+    ("Plot a confidence ellipse of a two-dimensional dataset"), which is
+    also what the reference vendored (`infrastructure/utils.py:515-558`);
+    this variant keeps the reference's uncentered second-moment matrix
+    (E[xyᵀ], not the covariance of demeaned data) so plots match."""
     from matplotlib import transforms
     from matplotlib.patches import Ellipse
 

@@ -1,6 +1,7 @@
 """Custom-VJP gradients of the Pallas kernels (interpret mode on CPU):
-the declared backward (XLA recompute) must match differentiating the XLA
-reference directly, for both q/k/v, masked and unmasked."""
+the declared backward (the Pallas flash dQ/dKV kernels rebuilt from the
+saved lse residual — ops/flash_attention.py) must match differentiating
+the XLA reference directly, for both q/k/v, masked and unmasked."""
 
 import numpy as np
 
