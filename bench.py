@@ -1,21 +1,31 @@
 """Headline benchmark: ViT-B/16 inference throughput @224px on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "spread"}.
 Baseline: 5,000 images/sec/chip (BASELINE.json north star; the reference
 itself publishes no numbers — SURVEY §6).
 
-Measures the int8 serving path (`models/base/quantized.py`, feature cosine
-0.9994 vs the bf16 model — tests/test_quantized.py); set MSVIT_BENCH=bf16
-for the bf16 path.  Methodology notes (axon tunnel): `block_until_ready`
-does not reliably fence queued work, so we sync via a scalar read of a
-full-tensor reduction (which also defeats dead-code elimination of the
-timed computation); i-dependent inputs defeat any result memoization.
+Modes (MSVIT_BENCH):
+  int8 (default)  — int8 serving path (`models/base/quantized.py`)
+  bf16            — bf16 path
+  latency         — bs=1 p50/p95 per-image encode latency, int8 path
+  latency_bf16    — same, bf16 path
+
+Protocol: MSVIT_BENCH_REPEATS (default 5) independent timed blocks; the
+reported value is the MEDIAN and "spread" is (max−min)/median, because
+chip state varies run-to-run by up to ~1.4× (benchmarks/RESULTS.md).
+Methodology notes (axon tunnel): `block_until_ready` does not reliably
+fence queued work, so throughput blocks sync via a scalar read of a
+full-tensor reduction (which also defeats dead-code elimination);
+i-dependent inputs defeat result memoization.  Latency mode must sync
+every call, which pays the ~28 ms tunnel RTT — the probe measures that
+floor separately and reports both raw and RTT-corrected percentiles.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 import jax
@@ -30,15 +40,12 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def main() -> None:
+def _build_fwd(mode: str, batch_size: int):
+    """Returns (fwd(x, i) -> 0-d array, pix [batch_size, 224, 224, 3])."""
     from msvit_tpu.models.base import BaseViTConfig, ViTModel
 
-    mode = os.environ.get("MSVIT_BENCH", "int8")
-    batch_size = 512
-    iters = 20
     cfg = BaseViTConfig()  # ViT-B/16 @224
     model = ViTModel(cfg)
-
     rng = jax.random.PRNGKey(0)
     pix = jax.random.normal(rng, (batch_size, 224, 224, 3), dtype=jnp.float32)
     variables = jax.jit(model.init)({"params": rng}, pix[:1])
@@ -51,9 +58,10 @@ def main() -> None:
         )
 
         qparams = quantize_vit_params(variables["params"])
-        scales = jax.jit(
-            lambda q, x: calibrate_act_scales(q, cfg, x)
-        )(qparams, pix[:64])
+        calib = jax.random.normal(rng, (64, 224, 224, 3), dtype=jnp.float32)
+        scales = jax.jit(lambda q, x: calibrate_act_scales(q, cfg, x))(
+            qparams, calib
+        )
 
         # params/scales are jit ARGUMENTS, not closure captures: captured
         # concrete arrays are inlined as HLO constants, which balloons the
@@ -77,15 +85,27 @@ def main() -> None:
         def fwd(x, i):
             return _fwd(variables, x, i)
 
+    return fwd, pix
+
+
+def _throughput(mode: str) -> None:
+    batch_size = 512
+    iters = 20
+    repeats = int(os.environ.get("MSVIT_BENCH_REPEATS", "5"))
+    fwd, pix = _build_fwd(mode, batch_size)
+
     float(fwd(pix, 0.0))  # compile + warm-up, hard sync
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        s = fwd(pix, float(i + 1))
-    float(s)  # scalar read = hard sync
-    dt = time.perf_counter() - t0
+    rates = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            s = fwd(pix, float(r * iters + i + 1))
+        float(s)  # one scalar read = hard sync of the queued block
+        rates.append(batch_size * iters / (time.perf_counter() - t0))
 
-    value = batch_size * iters / dt
+    value = statistics.median(rates)
+    spread = (max(rates) - min(rates)) / value if value else 0.0
     print(
         json.dumps(
             {
@@ -93,9 +113,69 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(value / 5000.0, 4),
+                "spread": round(spread, 4),
+                "repeats": repeats,
             }
         )
     )
+
+
+def _latency(mode: str) -> None:
+    """bs=1 per-image encode latency (BASELINE.json's second metric).
+
+    Every sample is a synced round trip, so the tunnel RTT (~28 ms here;
+    sub-ms host PCIe on a real TPU host) rides on top of the device time.
+    A trivial-op probe measures that floor; "value" is the RTT-corrected
+    p50 (device-side latency), raw percentiles are also reported."""
+    calls = int(os.environ.get("MSVIT_BENCH_LATENCY_CALLS", "50"))
+    fwd, pix = _build_fwd(mode, 1)
+
+    float(fwd(pix, 0.0))  # compile + warm-up
+
+    # RTT floor: synced trivial op on a tiny on-device buffer
+    tiny = jnp.zeros((8,), jnp.float32)
+    add = jax.jit(lambda x, i: jnp.sum(x + i))
+    float(add(tiny, 0.0))
+    rtts = []
+    for i in range(calls):
+        t0 = time.perf_counter()
+        float(add(tiny, float(i + 1)))
+        rtts.append(time.perf_counter() - t0)
+    rtt_floor = statistics.median(rtts)
+
+    lats = []
+    for i in range(calls):
+        t0 = time.perf_counter()
+        float(fwd(pix, float(i + 1)))
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+
+    def pct(p: float) -> float:
+        return lats[min(len(lats) - 1, int(p * len(lats)))]
+
+    p50, p95 = pct(0.50), pct(0.95)
+    print(
+        json.dumps(
+            {
+                "metric": f"vit_b16_224_p50_encode_latency_{mode}",
+                "value": round((p50 - rtt_floor) * 1e3, 3),
+                "unit": "ms (RTT-corrected)",
+                "vs_baseline": None,
+                "p50_raw_ms": round(p50 * 1e3, 3),
+                "p95_raw_ms": round(p95 * 1e3, 3),
+                "rtt_floor_ms": round(rtt_floor * 1e3, 3),
+                "calls": calls,
+            }
+        )
+    )
+
+
+def main() -> None:
+    mode = os.environ.get("MSVIT_BENCH", "int8")
+    if mode.startswith("latency"):
+        _latency("bf16" if mode.endswith("bf16") else "int8")
+    else:
+        _throughput(mode)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,12 @@ class BaseViTConfig:
     # > 0 replaces the dense FFN with a top-1 mixture-of-experts
     # (models/base/moe.py); experts shard over the "model" mesh axis (ep)
     num_experts: int = 0
+    # "dispatch": capacity-bounded token dispatch (Switch-style; tokens
+    # over capacity are dropped to the residual).  "dense": all experts
+    # computed for every token and masked (small-scale testbed/oracle).
+    moe_impl: str = "dispatch"
+    # expert queue capacity = ceil(capacity_factor * tokens / experts)
+    moe_capacity_factor: float = 1.25
 
     # Pointer to a pretrained torch/HF checkpoint to import weights from
     # (reference `configuration_base.py` `pretrained`/`pretrained_cls`);

@@ -1,20 +1,34 @@
 """Mixture-of-Experts FFN (token-choice top-1) with expert parallelism.
 
-Capability extension beyond the reference (whose MLPs are dense): an
-optional drop-in replacement for the trunk's FFN that shards its expert
-axis over the "model" mesh axis (`parallel/sharding.py` places
-`experts_in`/`experts_out` kernels with the expert dim partitioned) —
-the "ep" in the dp/tp/sp/pp/ep coverage of `__graft_entry__`.
+Capability extension beyond the reference (whose MLPs are dense —
+`model/base_encoder/modeling_base.py:238-260`): an optional drop-in
+replacement for the trunk's FFN that shards its expert axis over the
+"model" mesh axis (`parallel/sharding.py` places `experts_in`/
+`experts_out` kernels with the expert dim partitioned) — the "ep" in the
+dp/tp/sp/pp/ep coverage of `__graft_entry__`.
 
-Design: token-choice top-1 routing with a load-balancing auxiliary loss
-(Switch-style), computed as dense einsums over the expert axis — XLA
-partitions the expert dimension and turns the one-hot dispatch into
-all-to-all-free masked compute.  At the framework's scales (≤ a few
-experts) this dense form beats gather/scatter dispatch on TPU.
+Two implementations, selected by ``BaseViTConfig.moe_impl``:
+
+* ``"dispatch"`` (default) — real capacity-bounded token dispatch in the
+  Switch-Transformer / Mesh-TF style: each token is routed to its top-1
+  expert, takes a slot in that expert's queue of static capacity
+  ``C = ceil(capacity_factor · N / E)`` (per image), and tokens beyond
+  capacity are dropped (their FFN output is zero; the residual connection
+  carries them).  Dispatch and combine are one-hot **matmuls** rather
+  than gather/scatter — on TPU this keeps everything on the MXU with
+  static shapes, and under expert-parallel sharding XLA partitions the
+  per-expert GEMMs ([E, C, D] × [E, D, F]) locally and inserts the
+  collectives for the dispatch/combine contractions.  Per-expert FLOPs
+  are O(C·D·F), NOT O(N·E·D·F): each expert computes only its queue.
+* ``"dense"`` — computes all experts for every token and masks
+  (O(E) FLOPs/token).  Cheaper below ~4 experts at tiny scale and useful
+  as the equivalence oracle for the dispatched path
+  (tests/test_moe.py::test_dispatch_matches_dense).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import flax.linen as nn
@@ -65,16 +79,52 @@ class MoEFFN(nn.Module):
         aux = e * jnp.sum(frac * prob_mean)
 
         xc = x.astype(compute)
+        if cfg.moe_impl == "dense":
+            h = (
+                jnp.einsum("...nd,edf->...nef", xc, w_in.astype(compute))
+                + b_in.astype(compute)
+            )
+            h = jax.nn.gelu(h, approximate=False)
+            out_e = (
+                jnp.einsum("...nef,efd->...ned", h, w_out.astype(compute))
+                + b_out.astype(compute)
+            )
+            out = jnp.einsum(
+                "...ned,...ne->...nd",
+                out_e,
+                (onehot * gate[..., None]).astype(compute),
+            )
+            return out, aux
+
+        # --- dispatched path ---
+        n = x.shape[-2]
+        cap = max(1, math.ceil(cfg.moe_capacity_factor * n / e))
+        cap = min(cap, n)  # a queue longer than the group is pure padding
+
+        # Queue position of each token within its expert (1-indexed at its
+        # expert's column, 0 elsewhere); tokens whose position exceeds the
+        # capacity are dropped — exactly Switch's overflow semantics.
+        pos = jnp.cumsum(onehot, axis=-2) * onehot  # [..., N, E]
+        kept = onehot * (pos <= cap)
+        slot = jnp.sum(pos * onehot, axis=-1) - 1.0  # [..., N] 0-indexed
+        slot_oh = jax.nn.one_hot(slot, cap, dtype=jnp.float32)  # [..., N, C]
+
+        # dispatch[..., n, e, c] = 1 iff token n sits in expert e's slot c
+        dispatch = (kept[..., :, :, None] * slot_oh[..., :, None, :]).astype(
+            compute
+        )
+        expert_in = jnp.einsum(
+            "...nec,...nd->...ecd", dispatch, xc
+        )  # [..., E, C, D]
         h = (
-            jnp.einsum("...nd,edf->...nef", xc, w_in.astype(compute))
-            + b_in.astype(compute)
+            jnp.einsum("...ecd,edf->...ecf", expert_in, w_in.astype(compute))
+            + b_in.astype(compute)[:, None, :]
         )
         h = jax.nn.gelu(h, approximate=False)
         out_e = (
-            jnp.einsum("...nef,efd->...ned", h, w_out.astype(compute))
-            + b_out.astype(compute)
+            jnp.einsum("...ecf,efd->...ecd", h, w_out.astype(compute))
+            + b_out.astype(compute)[:, None, :]
         )
-        out = jnp.einsum(
-            "...ned,...ne->...nd", out_e, (onehot * gate[..., None]).astype(compute)
-        )
+        combine = dispatch * gate[..., :, None, None].astype(compute)
+        out = jnp.einsum("...nec,...ecd->...nd", combine, out_e)
         return out, aux

@@ -9,6 +9,13 @@ from the `PartitionSpec` annotations — no explicit communication code.
 """
 
 from msvit_tpu.parallel.mesh import make_mesh  # noqa: F401
+from msvit_tpu.parallel.pipeline_vit import (  # noqa: F401
+    init_pipelined_classifier,
+    make_pipelined_classifier_apply,
+    make_pipelined_loss_fn,
+    pipeline_params_from_full,
+    shard_pipeline_params,
+)
 from msvit_tpu.parallel.sharding import (  # noqa: F401
     partition_spec_for_params,
     shard_params,

@@ -62,14 +62,21 @@ def gpipe(
     mesh: Mesh,
     stage_axis: str = "stage",
 ):
-    """Build `run(stage_params, x_mb)`:
+    """Build `run(stage_params, x_mb, extras_mb=None)`:
     stage_params — pytree with leading [S] axis (see
     `split_layers_into_stages`); x_mb — [M, mb, ...] microbatched input.
+    extras_mb (optional) — pytree of per-microbatch side inputs with
+    leading axis [M] (e.g. attention masks) that are NOT transformed by
+    stages: each stage indexes the entry of the microbatch it is
+    currently processing (t − s) and calls ``stage_fn(params, x, extras)``.
     Returns [M, mb, ...] outputs of the final stage, replicated."""
     s_total, m_total = num_stages, num_microbatches
 
-    def run(stage_params, x_mb):
-        def spmd(params_local, x_local):
+    def run(stage_params, x_mb, extras_mb=None):
+        has_extras = extras_mb is not None
+
+        def spmd(params_local, x_local, *extras_args):
+            extras_local = extras_args[0] if has_extras else None
             s = jax.lax.axis_index(stage_axis)
             my_params = jax.tree.map(lambda a: a[0], params_local)
             mb_shape = x_local.shape[1:]
@@ -90,7 +97,17 @@ def gpipe(
                     x_local, mb_idx, 0, keepdims=False
                 )
                 inp = jnp.where(s == 0, first_in, buf)
-                out = stage_fn(my_params, inp)
+                if has_extras:
+                    my_mb = jnp.clip(t - s, 0, m_total - 1)
+                    extras = jax.tree.map(
+                        lambda a: jax.lax.dynamic_index_in_dim(
+                            a, my_mb, 0, keepdims=False
+                        ),
+                        extras_local,
+                    )
+                    out = stage_fn(my_params, inp, extras)
+                else:
+                    out = stage_fn(my_params, inp)
                 active = jnp.logical_and(t - s >= 0, t - s < m_total)
                 out = jnp.where(active, out, jnp.zeros_like(out))
                 rec_idx = jnp.clip(t - (s_total - 1), 0, m_total - 1)
@@ -115,23 +132,31 @@ def gpipe(
             )
             return outputs
 
+        args = (stage_params, x_mb) + ((extras_mb,) if has_extras else ())
+        in_specs = (P(stage_axis), P()) + ((P(),) if has_extras else ())
         return shard_map(
             spmd,
             mesh=mesh,
-            in_specs=(P(stage_axis), P()),
+            in_specs=in_specs,
             out_specs=P(),
-        )(stage_params, x_mb)
+        )(*args)
 
     return run
 
 
 def make_layer_stage_fn(layer_module):
     """stage_fn for a stack of identical flax layers: scans the stage's
-    [L/S, ...] stacked params through `layer_module.apply`."""
+    [L/S, ...] stacked params through `layer_module.apply`.  The optional
+    ``extras`` pytree may carry an "attention_mask" threaded to every
+    layer (gpipe indexes it per microbatch)."""
 
-    def stage_fn(stacked_params, x):
+    def stage_fn(stacked_params, x, extras=None):
+        mask = None if extras is None else extras.get("attention_mask")
+
         def body(h, layer_params):
-            out, _ = layer_module.apply({"params": layer_params}, h)
+            out, _ = layer_module.apply(
+                {"params": layer_params}, h, None, mask
+            )
             return out, None
 
         out, _ = jax.lax.scan(body, x, stacked_params)

@@ -1,4 +1,5 @@
-"""MoE FFN: routing semantics, aux loss, expert-parallel sharding."""
+"""MoE FFN: routing semantics, capacity-bounded dispatch vs the dense
+oracle, overflow drops, aux loss, expert-parallel sharding."""
 
 import numpy as np
 
@@ -28,8 +29,9 @@ def _cfg(**kw):
 
 
 def test_moe_top1_equals_selected_expert():
-    """Output of each token equals gate · (its argmax expert's MLP)."""
-    cfg = _cfg()
+    """Dense oracle: each token's output equals gate · (its argmax
+    expert's MLP)."""
+    cfg = _cfg(moe_impl="dense")
     moe = MoEFFN(cfg, num_experts=4)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 32))
     variables = moe.init(jax.random.PRNGKey(1), x)
@@ -51,8 +53,46 @@ def test_moe_top1_equals_selected_expert():
             np.testing.assert_allclose(np.asarray(out)[b, n], want, atol=1e-4)
 
 
+def test_dispatch_matches_dense():
+    """With capacity ≥ tokens (no overflow) the dispatched MoE is exactly
+    the dense MoE."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 7, 32))
+    cfg_disp = _cfg(moe_impl="dispatch", moe_capacity_factor=4.0)
+    cfg_dense = _cfg(moe_impl="dense")
+    moe_d = MoEFFN(cfg_disp, num_experts=4)
+    variables = moe_d.init(jax.random.PRNGKey(1), x)
+    out_disp, aux_disp = moe_d.apply(variables, x)
+    out_dense, aux_dense = MoEFFN(cfg_dense, num_experts=4).apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_disp), np.asarray(out_dense), atol=1e-5
+    )
+    np.testing.assert_allclose(float(aux_disp), float(aux_dense), atol=1e-6)
+
+
+def test_dispatch_capacity_drops_overflow_tokens():
+    """Tokens beyond an expert's queue capacity get zero FFN output
+    (Switch overflow semantics), earlier tokens are unaffected."""
+    cfg = _cfg(moe_impl="dispatch", moe_capacity_factor=0.25)  # C=1 at N=8,E=2
+    moe = MoEFFN(cfg, num_experts=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32))
+    variables = moe.init(jax.random.PRNGKey(1), x)
+    out, _ = moe.apply(variables, x)
+
+    p = variables["params"]
+    logits = np.asarray(x @ np.asarray(p["router"]["kernel"]) + np.asarray(p["router"]["bias"]))
+    expert = logits.argmax(-1)[0]  # [8]
+    seen = set()
+    for n in range(8):
+        e = int(expert[n])
+        if e in seen:  # overflowed its capacity-1 queue
+            np.testing.assert_allclose(np.asarray(out)[0, n], 0.0, atol=1e-6)
+        else:
+            seen.add(e)
+            assert np.abs(np.asarray(out)[0, n]).max() > 0
+
+
 def test_moe_trunk_forward_and_aux_sown():
-    cfg = _cfg()
+    cfg = _cfg()  # default dispatch impl
     enc = BaseViTEncoder(cfg)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
     variables = enc.init(jax.random.PRNGKey(1), x)
@@ -65,7 +105,7 @@ def test_moe_trunk_forward_and_aux_sown():
 
 
 def test_moe_expert_parallel_matches_replicated():
-    cfg = _cfg()
+    cfg = _cfg()  # dispatched experts sharded over "model"
     enc = BaseViTEncoder(cfg)
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 32))
     variables = enc.init(jax.random.PRNGKey(1), x)
