@@ -123,16 +123,32 @@ def _throughput(mode: str) -> None:
 def _latency(mode: str) -> None:
     """bs=1 per-image encode latency (BASELINE.json's second metric).
 
-    Every sample is a synced round trip, so the tunnel RTT (~28 ms here;
-    sub-ms host PCIe on a real TPU host) rides on top of the device time.
-    A trivial-op probe measures that floor; "value" is the RTT-corrected
-    p50 (device-side latency), raw percentiles are also reported."""
+    Two numbers, because the tunnel adds a large variable RTT (~27-37 ms
+    measured; sub-ms host PCIe on a real TPU host) to any synced call:
+
+    * "value" (p50): per-call **device** latency from queued back-to-back
+      bs=1 executions in blocks of 10 (no per-call sync, so no RTT) —
+      the p50 over blocks.  This is the p50 a real host would see.
+    * p50/p95_raw_ms: fully synced per-call wall times (RTT included) and
+      an RTT floor probe, reported for transparency of the environment
+      artifact — do NOT read them as device latency."""
     calls = int(os.environ.get("MSVIT_BENCH_LATENCY_CALLS", "50"))
+    block = 10
     fwd, pix = _build_fwd(mode, 1)
 
     float(fwd(pix, 0.0))  # compile + warm-up
 
-    # RTT floor: synced trivial op on a tiny on-device buffer
+    # queued per-call device latency, p50 over blocks
+    per_call = []
+    for r in range(calls // block):
+        t0 = time.perf_counter()
+        for i in range(block):
+            s = fwd(pix, float(r * block + i + 1))
+        float(s)
+        per_call.append((time.perf_counter() - t0) / block)
+    p50_dev = statistics.median(per_call)
+
+    # RTT floor probe: synced trivial op on a tiny on-device buffer
     tiny = jnp.zeros((8,), jnp.float32)
     add = jax.jit(lambda x, i: jnp.sum(x + i))
     float(add(tiny, 0.0))
@@ -141,7 +157,7 @@ def _latency(mode: str) -> None:
         t0 = time.perf_counter()
         float(add(tiny, float(i + 1)))
         rtts.append(time.perf_counter() - t0)
-    rtt_floor = statistics.median(rtts)
+    rtt_floor = min(rtts)
 
     lats = []
     for i in range(calls):
@@ -153,16 +169,15 @@ def _latency(mode: str) -> None:
     def pct(p: float) -> float:
         return lats[min(len(lats) - 1, int(p * len(lats)))]
 
-    p50, p95 = pct(0.50), pct(0.95)
     print(
         json.dumps(
             {
                 "metric": f"vit_b16_224_p50_encode_latency_{mode}",
-                "value": round((p50 - rtt_floor) * 1e3, 3),
-                "unit": "ms (RTT-corrected)",
+                "value": round(p50_dev * 1e3, 3),
+                "unit": "ms/image (bs=1, device, queued)",
                 "vs_baseline": None,
-                "p50_raw_ms": round(p50 * 1e3, 3),
-                "p95_raw_ms": round(p95 * 1e3, 3),
+                "p50_synced_ms": round(pct(0.50) * 1e3, 3),
+                "p95_synced_ms": round(pct(0.95) * 1e3, 3),
                 "rtt_floor_ms": round(rtt_floor * 1e3, 3),
                 "calls": calls,
             }

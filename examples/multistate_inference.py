@@ -25,7 +25,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dataset", default=None, help="HF dataset id (optional)")
-    ap.add_argument("--pretrained", default=None, help="HF checkpoint id (optional)")
+    ap.add_argument(
+        "--pretrained",
+        default=None,
+        help="checkpoint path, hub-layout dir, or HF hub id (hub needs network)",
+    )
     ap.add_argument("--num-sample", type=int, default=512)
     args = ap.parse_args()
 
@@ -63,24 +67,13 @@ def main():
         {"params": rng, "clustering": rng}, pix[:1]
     )
     if args.pretrained:
-        from transformers import ViTModel as HFViT
+        # path / hub-layout dir / hub id (hub only if network resolves)
+        from msvit_tpu.compat import import_into_multistate, load_state_dict_from
 
-        from msvit_tpu.compat import import_vit_params
-
-        sd = HFViT.from_pretrained(args.pretrained).state_dict()
-        trunk = import_vit_params(sd, cfg, add_cls_token=False)
-        params = dict(variables["params"])
-        params["embeddings"] = trunk["embeddings"]
-        backbone = dict(params["backbone"])
-        for i in range(cfg.num_hidden_layers):
-            backbone[f"layer_{i}"] = trunk["encoder"][f"layer_{i}"]
-        # TX/RX initialized from the pretrained CLS token (reference
-        # `modeling_msvitencoder.py:686-688`)
-        cls = jnp.asarray(sd["embeddings.cls_token"].numpy()[0, 0])
-        backbone["transmitter_token"] = cls
-        backbone["receiver_token"] = cls
-        params["backbone"] = backbone
-        variables = {"params": params}
+        sd = load_state_dict_from(args.pretrained)
+        variables = {
+            "params": import_into_multistate(sd, cfg, variables["params"])
+        }
 
     out = jax.jit(
         lambda v, x, k: model.apply(

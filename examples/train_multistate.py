@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--dataset", default=None)
     ap.add_argument("--num-sample", type=int, default=256)
+    ap.add_argument(
+        "--pretrained",
+        default=None,
+        help="checkpoint path, hub-layout dir, or HF hub id (hub needs network)",
+    )
     args = ap.parse_args()
 
     from msvit_tpu.models.clustering import SpectralClusteringConfig
@@ -67,6 +72,15 @@ def main():
     params = jax.jit(model.init)(
         {"params": rng, "clustering": rng}, pix[:1], labels[:1]
     )
+    if args.pretrained:
+        # frozen pretrained trunk under the classifier (the reference's
+        # bootstrap, `modeling_msvitencoder.py:681-690`)
+        from msvit_tpu.compat import import_into_multistate, load_state_dict_from
+
+        sd = load_state_dict_from(args.pretrained)
+        p = dict(params["params"])
+        p["encoder"] = import_into_multistate(sd, cfg, p["encoder"])
+        params = {**params, "params": p}
 
     def loss_fn(params, batch, step_rng):
         pix, labels = batch

@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dataset", default=None)
+    ap.add_argument(
+        "--pretrained",
+        default=None,
+        help="checkpoint path, hub-layout dir, or HF hub id (hub needs network)",
+    )
     args = ap.parse_args()
 
     from msvit_tpu.models.predictive import (
@@ -66,6 +71,16 @@ def main():
     variables = jax.jit(model.init)(
         {"params": rng, "glimpse": rng}, pix[:2]
     )
+    if args.pretrained:
+        # encoder weights + CLS only (reference `modeling_spvitencoder.py
+        # :498-509` — the glimpse tokenizer is never pretrained)
+        from msvit_tpu.compat import import_into_predictive, load_state_dict_from
+
+        sd = load_state_dict_from(args.pretrained)
+        variables = {
+            **variables,
+            "params": import_into_predictive(sd, cfg, variables["params"]),
+        }
     opt = optax.adamw(2e-3)
     opt_state = opt.init(variables)
 

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dataset", default=None)
     ap.add_argument("--visualize-every", type=int, default=0)
+    ap.add_argument(
+        "--pretrained",
+        default=None,
+        help="checkpoint path, hub-layout dir, or HF hub id (hub needs network)",
+    )
     args = ap.parse_args()
 
     from msvit_tpu.models.subsample import (
@@ -75,6 +80,15 @@ def main():
     variables = jax.jit(model.init)(
         {"params": rng, "policy": rng}, pix0[:1], labels0[:1]
     )
+    if args.pretrained:
+        # AutoModel-style partial load (reference `modeling_ssvit.py:235-249`)
+        from msvit_tpu.compat import import_into_subsample, load_state_dict_from
+
+        sd = load_state_dict_from(args.pretrained)
+        variables = {
+            **variables,
+            "params": import_into_subsample(sd, cfg, variables["params"]),
+        }
 
     # train only the subdivision policy (reference `:85-88`)
     opt = make_optimizer(1e-3, trainable=lambda path: "projection" in path)

@@ -13,3 +13,9 @@ from msvit_tpu.compat.family_import import (  # noqa: F401
     import_into_predictive,
     import_into_subsample,
 )
+from msvit_tpu.compat.pretrained import (  # noqa: F401
+    config_from_hf,
+    load_pretrained_vit,
+    load_state_dict_from,
+    resolve_checkpoint,
+)
