@@ -44,7 +44,8 @@ def _build_fwd(mode: str, batch_size: int):
     """Returns (fwd(x, i) -> 0-d array, pix [batch_size, 224, 224, 3])."""
     from msvit_tpu.models.base import BaseViTConfig, ViTModel
 
-    cfg = BaseViTConfig()  # ViT-B/16 @224
+    act = os.environ.get("MSVIT_BENCH_ACT", "gelu")
+    cfg = BaseViTConfig(hidden_act=act)  # ViT-B/16 @224
     model = ViTModel(cfg)
     rng = jax.random.PRNGKey(0)
     pix = jax.random.normal(rng, (batch_size, 224, 224, 3), dtype=jnp.float32)

@@ -52,6 +52,11 @@ class BaseViTConfig:
     attn_implementation: str = "auto"
     policy: Policy = Policy()
     remat: bool = False  # jax.checkpoint each block (memory ↔ FLOPs)
+    # checkpoint policy under remat: "" = save nothing (full recompute);
+    # "dots" = save MXU outputs, recompute elementwise only
+    # (jax.checkpoint_policies.checkpoint_dots) — ~5% step cost instead
+    # of ~15-30%; "dots_no_batch" = dots_with_no_batch_dims_saveable
+    remat_policy: str = ""
     # Megatron-SP-style sequence parallelism: constrain the token axis of
     # inter-block activations to the "model" mesh axis (GSPMD inserts the
     # all-gather/reduce-scatter pairs around attention/MLP).  Requires

@@ -188,11 +188,27 @@ class BaseMLP(nn.Module):
             name="fc1",
         )(x.astype(compute))
         if cfg.hidden_act == "gelu":
+            # erf-grade GELU through the fitted tanh-form erf (erf abs
+            # err ≤4.3e-5: bf16-identical to exact erf, hardware-tanh
+            # speed).  XLA's erf polynomial cost 19% of the whole bf16
+            # ViT-B forward (3,001 → 3,801 img/s e2e ladder,
+            # benchmarks/RESULTS.md r3; ops/gelu.py)
+            from msvit_tpu.ops.gelu import gelu_erf_tanh
+
+            x = gelu_erf_tanh(x)
+        elif cfg.hidden_act == "gelu_as":
+            # Abramowitz–Stegun erf (abs err ≤4e-7, one hardware exp) —
+            # tighter than the tanh form when f32-level exactness matters
+            from msvit_tpu.ops.gelu import gelu_erf
+
+            x = gelu_erf(x)
+        elif cfg.hidden_act == "gelu_xla_erf":
+            # XLA's native erf lowering — numerics oracle for the above
             x = jax.nn.gelu(x, approximate=False)
         elif cfg.hidden_act == "gelu_tanh":
-            # tanh-approx GELU: ~10x faster than erf GELU on v5e (measured
-            # 677 vs 68 G elem/s at the fc1 shape — benchmarks/RESULTS.md);
-            # serving configs opt in, parity configs keep exact erf.
+            # tanh-approx GELU (the torch nn.GELU('tanh') variant —
+            # a ~1e-3-error DIFFERENT function, kept for configs that
+            # train with it)
             x = jax.nn.gelu(x, approximate=True)
         else:
             x = getattr(jax.nn, cfg.hidden_act)(x)
@@ -343,7 +359,17 @@ class BaseViTEncoder(nn.Module):
 
         layer_cls = BaseViTLayer
         if cfg.remat:
-            layer_cls = nn.remat(BaseViTLayer, static_argnums=(4, 5))
+            policies = {
+                "": None,
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "dots_no_batch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }
+            layer_cls = nn.remat(
+                BaseViTLayer,
+                static_argnums=(4, 5),
+                policy=policies[cfg.remat_policy],
+            )
 
         def constrain(x):
             # sequence parallelism: tokens sharded on "model" between

@@ -199,11 +199,14 @@ def quantized_vit_apply(
 
         y = _layer_norm(x, lp["norm2"], eps)
         y = mm(f"fc1_{i}", y, lp["fc1"])
-        # tanh-approx GELU: the erf GELU costs 4.5 ms per fc1 pass on v5e
-        # (~54 ms/batch over 12 layers — benchmarks/RESULTS.md); the tanh
-        # approximation is 10x faster and within int8 quantization noise
-        # (max |Δ| ≈ 3e-3 near x≈±2; feature cosine tested ≥ 0.999).
-        y = jax.nn.gelu(y, approximate=True)
+        # tanh-form erf GELU (ops/gelu.py): XLA's erf polynomial costs
+        # 4.5 ms per fc1 pass on v5e (~54 ms/batch over 12 layers —
+        # benchmarks/RESULTS.md) while the fitted tanh form runs at
+        # hardware-tanh speed with erf abs err ≤4.3e-5 — erf-grade
+        # accuracy, no longer the ~1e-3-off torch 'tanh' approximation.
+        from msvit_tpu.ops.gelu import gelu_erf_tanh
+
+        y = gelu_erf_tanh(y)
         y = mm(f"fc2_{i}", y, lp["fc2"])  # layer_scale2 folded in
         x = x + y
 

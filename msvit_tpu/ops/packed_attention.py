@@ -354,17 +354,26 @@ def _unpack(qkv, num_heads):
     return t[0], t[1], t[2]
 
 
+# Above this [B,H,N,N] f32 transient size the closed-form backward's HBM
+# pressure makes XLA spill (bs512 ViT-B train: bwd scaled 2.45× for 2×
+# batch — benchmarks/bench_train_r3.py); the flash kernels never
+# materialize it.  bs256@197 (477 MB) keeps the measured closed-form win.
+_CLOSED_FORM_MAX_BYTES = 768 * 1024 * 1024
+
+
 def _packed_bwd(num_heads, scale, mask_value, res, g):
     """Backward from the saved per-head lse — no softmax-stat recompute.
 
-    Two regimes (chosen at trace time from the static N):
-    * N < 512: closed-form XLA math (rebuild p = exp(s − lse), standard
-      five-matmul attention backward).  At short sequences the Pallas
-      custom-call boundary loses to XLA's fusion (ViT-B train: 566 vs
-      491 img/s — benchmarks/bench_train.py), and the transient
-      [B,H,N,N] is what XLA autodiff would allocate anyway.
-    * N ≥ 512: the shared Pallas flash dQ/dKV kernels
-      (ops/flash_attention.py) — O(N²) never hits HBM.
+    Two regimes (chosen at trace time from the static shapes):
+    * small [B,H,N,N] transient (< _CLOSED_FORM_MAX_BYTES): closed-form
+      XLA math (rebuild p = exp(s − lse), standard five-matmul attention
+      backward).  At short sequences the Pallas custom-call boundary
+      loses to XLA's fusion (ViT-B train: 566 vs 491 img/s —
+      benchmarks/bench_train.py), and the transient is what XLA autodiff
+      would allocate anyway.
+    * long sequences (N ≥ 512) or large transients: the shared Pallas
+      flash dQ/dKV kernels (ops/flash_attention.py) — O(N²) never hits
+      HBM.
     The r2 XLA-*recompute* backward (re-running a full forward) is gone
     either way."""
     qkv, mask, out, lse = res
@@ -375,7 +384,7 @@ def _packed_bwd(num_heads, scale, mask_value, res, g):
     o4 = out.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
     g4 = g.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
 
-    if n >= 512:
+    if n >= 512 or b * num_heads * n * n * 4 > _CLOSED_FORM_MAX_BYTES:
         from msvit_tpu.ops.flash_attention import flash_attention_bwd
 
         dq, dk, dv = flash_attention_bwd(

@@ -28,10 +28,16 @@ def make_optimizer(
     learning_rate: float = 1e-3,
     weight_decay: float = 1e-2,
     trainable: Optional[Callable[[Tuple[str, ...]], bool]] = None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW, optionally masked to a trainable subset by param path
-    (frozen params get zero updates)."""
-    opt = optax.adamw(learning_rate, weight_decay=weight_decay)
+    (frozen params get zero updates).  ``mu_dtype=jnp.bfloat16`` stores
+    the first moment in bf16 — halves its HBM footprint/traffic (the
+    second moment stays f32: its EMA of tiny squared grads underflows
+    bf16's 8-bit mantissa)."""
+    opt = optax.adamw(
+        learning_rate, weight_decay=weight_decay, mu_dtype=mu_dtype
+    )
     if trainable is None:
         return opt
 
