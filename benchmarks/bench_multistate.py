@@ -23,7 +23,8 @@ from msvit_tpu.models.multistate import (
 )
 
 
-def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20):
+def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
+          shared_anchors: bool = False, anchors_per_parent: int = 256):
     cfg = MultiStateViTConfig(
         patch_size=8,
         image_size=224,
@@ -36,6 +37,8 @@ def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20):
             eigenvalue_threshold=0.1,
             ncut_dist="rbf",
             eig_method=eig_method,
+            shared_anchors=shared_anchors,
+            anchors_per_parent=anchors_per_parent,
         ),
     )
     model = MultiStateViTEncoderModel(cfg)
@@ -55,15 +58,24 @@ def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20):
     dt = bench_queued(
         lambda i: fwd(params, pix, float(i + 1), keys[i]), iters=iters
     )
+    tag = f"shared/{anchors_per_parent}" if shared_anchors else eig_method
     print(
-        f"num_sample={num_sample:5d} ({eig_method}): {dt * 1e3:7.2f} ms/batch "
-        f"({8 / dt:6.0f} img/s)"
+        f"num_sample={num_sample:5d} ({tag}): {dt * 1e3:7.2f} ms/batch "
+        f"({8 / dt:6.0f} img/s)",
+        flush=True,
     )
     return dt
 
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
-    bench(1024)
-    bench(512)
-    bench(256)
+    cases = sys.argv[1:] or ["1024", "512", "256"]
+    for c in cases:
+        if c.startswith("shared"):
+            # sharedM[/mc] e.g. shared1024/256
+            body = c[len("shared"):]
+            ns, _, mc = body.partition("/")
+            bench(int(ns), shared_anchors=True,
+                  anchors_per_parent=int(mc or 256))
+        else:
+            bench(int(c))

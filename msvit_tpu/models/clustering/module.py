@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from msvit_tpu.ops.fps import farthest_point_sampling_blocked
 from msvit_tpu.ops.kmeans import kmeans
 from msvit_tpu.ops.linalg import pca_lowrank
-from msvit_tpu.ops.ncut import ncut
+from msvit_tpu.ops.ncut import ncut, ncut_shared
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +68,14 @@ class SpectralClusteringConfig(ClusteringConfig):
     # from eig_method (float32 for the exact "eigh" parity path, bfloat16
     # for the production "subspace" path — see ops/ncut.py::_cross)
     matmul_dtype: str = ""
+    # r3 fast path (off by default — semantics deviation): ONE global
+    # Nyström anchor pool shared across parents instead of an independent
+    # num_sample draw per parent; each parent gets its ≤anchors_per_parent
+    # in-pool anchors (compact gather), shrinking the vmapped affinity and
+    # eigensolve ~(num_sample/anchors_per_parent)² ×.  See
+    # ops/ncut.py::ncut_shared.
+    shared_anchors: bool = False
+    anchors_per_parent: int = 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,20 +139,35 @@ def _spectral_single(
     keys = jax.random.split(key, 2 * c_max)
     k_ncut, k_km = keys[:c_max], keys[c_max:]
 
-    vecs, vals = jax.vmap(
-        lambda m, k: ncut(
+    if config.shared_anchors:
+        vecs, vals = ncut_shared(
             flat_x,
             num_eig=config.ncut_dim,
-            key=k,
+            key=k_ncut[0],
+            member=member,
             num_sample=config.num_sample,
+            anchors_per_parent=config.anchors_per_parent,
             distance=config.ncut_dist,
             gamma=config.affinity_focal_gamma,
-            mask=m,
             eig_method=config.eig_method,
             eig_iters=config.eig_iters,
             matmul_dtype=_ncut_matmul_dtype(config),
-        )
-    )(member, k_ncut)  # [C, M, e], [C, e]
+        )  # [C, M, e], [C, e]
+    else:
+        vecs, vals = jax.vmap(
+            lambda m, k: ncut(
+                flat_x,
+                num_eig=config.ncut_dim,
+                key=k,
+                num_sample=config.num_sample,
+                distance=config.ncut_dist,
+                gamma=config.affinity_focal_gamma,
+                mask=m,
+                eig_method=config.eig_method,
+                eig_iters=config.eig_iters,
+                matmul_dtype=_ncut_matmul_dtype(config),
+            )
+        )(member, k_ncut)  # [C, M, e], [C, e]
 
     # children count = #(eigenvalues above threshold), clamped to ≥1 and
     # to the remaining slot budget (`modeling_spectral.py:87`); empty

@@ -111,6 +111,106 @@ def _topk_eig_subspace(
     jax.jit,
     static_argnames=(
         "num_eig", "num_sample", "distance", "gamma", "eig_method",
+        "eig_iters", "matmul_dtype", "anchors_per_parent",
+    ),
+)
+def ncut_shared(
+    x: jnp.ndarray,  # [n, d]
+    num_eig: int,
+    key: jax.Array,
+    member: jnp.ndarray,  # [C, n] bool — per-parent token membership
+    num_sample: int = 1024,
+    anchors_per_parent: int = 256,
+    distance: str = "rbf",
+    gamma: float = 3.0,
+    eig_method: str = "subspace",
+    eig_iters: int = 12,
+    matmul_dtype: str = "bfloat16",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-parent NCut with ONE shared Nyström anchor pool (r3 fast path).
+
+    The reference clusters each parent independently, which under vmap
+    means C copies of the two affinity cross-products ([m,m] anchor-anchor
+    and [n,m] token-anchor) and C full-size [m,m] eigensolves — the
+    dominant cost of the multistate forward (benchmarks/RESULTS.md).
+
+    Deviation (config-gated, off by default): sample a single pool of
+    `num_sample` anchors from all member tokens, compute both affinity
+    products once, and give each parent the ≤`anchors_per_parent` pool
+    anchors that fall inside it (compact gather) — so the per-parent
+    eigensolve shrinks to [mc, mc] and the affinity work is shared.  Each
+    parent's anchor budget is ∝ its token share (capped at mc) instead of
+    a full independent `num_sample` draw; on separated clusters the
+    embeddings agree with per-parent mode (tests/test_clustering.py).
+
+    Returns (eigvecs [C, n, num_eig], eigvals [C, num_eig] descending).
+    """
+    c_max, n = member.shape
+    x = x.astype(jnp.float32)
+    m = min(num_sample, n)
+    mc = min(anchors_per_parent, m)
+    mm_dtype = jnp.dtype(matmul_dtype)
+
+    member_f = member.astype(jnp.float32)
+    any_member = jnp.any(member, axis=0)
+
+    # one global Gumbel top-m anchor draw over tokens valid in any parent
+    k_pool, k_sel = jax.random.split(key)
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(k_pool, (n,), minval=1e-9, maxval=1.0)))
+    pool_idx = jax.lax.top_k(jnp.where(any_member, g, -jnp.inf), m)[1]  # [m]
+    xs = x[pool_idx]
+    pool_valid = any_member[pool_idx]
+
+    # shared cross-products (computed once, vs C times in per-parent mode)
+    a_ss = _pairwise_affinity(xs, xs, distance, gamma, mm_dtype)  # [m, m]
+    a_nm = _pairwise_affinity(x, xs, distance, gamma, mm_dtype)  # [n, m]
+
+    # per-parent compact anchor selection: the ≤mc pool anchors inside the
+    # parent (Gumbel tie-break keeps the subsample unbiased when a big
+    # parent owns more than mc pool anchors)
+    amem = member_f[:, pool_idx] * pool_valid[None, :]  # [C, m]
+    g2 = -jnp.log(-jnp.log(jax.random.uniform(
+        k_sel, (c_max, m), minval=1e-9, maxval=1.0)))
+    sel = jax.lax.top_k(jnp.where(amem > 0, g2, -jnp.inf), mc)[1]  # [C, mc]
+    sel_valid = jnp.take_along_axis(amem, sel, axis=1) > 0  # [C, mc]
+
+    def one_parent(sel_c, valid_c, mem_c, k_c):
+        a_cc = a_ss[sel_c][:, sel_c]  # [mc, mc]
+        vmask = valid_c[:, None] & valid_c[None, :]
+        a_cc = jnp.where(vmask, a_cc, 0.0)
+        d_s = jnp.sum(a_cc, axis=-1)
+        d_inv_sqrt = jnp.where(d_s > 0, jax.lax.rsqrt(d_s + 1e-8), 0.0)
+        m_norm = a_cc * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
+
+        if eig_method == "subspace":
+            v, eigvals = _topk_eig_subspace(m_norm, num_eig, k_c, eig_iters)
+        else:
+            ev, evec = jnp.linalg.eigh(m_norm)
+            eigvals = ev[::-1][:num_eig]
+            v = evec[:, ::-1][:, :num_eig]
+
+        a_nc = a_nm[:, sel_c]  # [n, mc] — gather of the shared product
+        a_nc = jnp.where(
+            (mem_c[:, None] > 0) & valid_c[None, :], a_nc, 0.0
+        )
+        d_n = jnp.sum(a_nc, axis=-1)
+        dn_inv_sqrt = jnp.where(d_n > 0, jax.lax.rsqrt(d_n + 1e-8), 0.0)
+        lam_inv = jnp.where(jnp.abs(eigvals) > 1e-6, 1.0 / eigvals, 0.0)
+        f = (a_nc * dn_inv_sqrt[:, None]) @ (
+            v * (d_inv_sqrt[:, None] * lam_inv[None, :])
+        )
+        f = f / (jnp.linalg.norm(f, axis=0, keepdims=True) + 1e-8)
+        return f, eigvals
+
+    keys = jax.random.split(key, c_max)
+    return jax.vmap(one_parent)(sel, sel_valid, member_f, keys)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_eig", "num_sample", "distance", "gamma", "eig_method",
         "eig_iters", "matmul_dtype",
     ),
 )

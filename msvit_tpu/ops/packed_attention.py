@@ -360,6 +360,140 @@ def _unpack(qkv, num_heads):
 # materialize it.  bs256@197 (477 MB) keeps the measured closed-form win.
 _CLOSED_FORM_MAX_BYTES = 768 * 1024 * 1024
 
+# backward dispatch override for benches/tests: "auto" | "kernel" |
+# "closed" | "flash"
+_BWD_IMPL = "auto"
+
+
+def _kernel_packed_bwd(qkv_ref, g_ref, o_ref, lse_ref, mask_ref, dqkv_ref,
+                       *, num_heads, scale, mask_value):
+    """Whole-backward-in-VMEM packed kernel body (one image per program,
+    all heads): rebuild p from the saved lse, run the five-matmul
+    attention backward per head, emit dqkv already packed [N, 3D].  No
+    [B,H,N,N] transient ever reaches HBM and no head-split transposes of
+    the operands exist (the flash dQ/dKV path pays 6 padded [B,H,N,64]
+    HBM round-trips — 2× tile expansion at dh=64 — plus an f32 lse
+    broadcast; see benchmarks/RESULTS.md r3)."""
+    tb = qkv_ref.shape[0]
+    d3 = qkv_ref.shape[-1]
+    d = d3 // 3
+    dh = d // num_heads
+    f32 = jnp.float32
+    for e in range(tb):
+        x = qkv_ref[e]  # [N, 3D]
+        go = g_ref[e]  # [N, D]
+        oo = o_ref[e]
+        dqs, dks, dvs = [], [], []
+        for h in range(num_heads):
+            q = x[:, h * dh : (h + 1) * dh]
+            k = x[:, d + h * dh : d + (h + 1) * dh]
+            v = x[:, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+            gh = go[:, h * dh : (h + 1) * dh]
+            oh = oo[:, h * dh : (h + 1) * dh]
+            delta = jnp.sum(gh.astype(f32) * oh.astype(f32), axis=-1,
+                            keepdims=True)  # [N, 1]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ) * scale
+            if mask_ref is not None:
+                hm = mask_ref.shape[1]
+                m = mask_ref[e, h if hm > 1 else 0]
+                if m.dtype == jnp.bool_:
+                    s = jnp.where(m, s, mask_value)
+                else:
+                    s = s + m.astype(f32)
+            p = jnp.exp(s - lse_ref[e, h][:, None])  # [N, N] f32
+            pb = p.astype(x.dtype)
+            dv = jax.lax.dot_general(  # p.T @ gh → [N, dh]
+                pb, gh, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            dp = jax.lax.dot_general(  # gh @ v.T → [N, N]
+                gh, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+            ds = (p * (dp - delta)).astype(x.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            ) * scale
+            dk = jax.lax.dot_general(  # ds.T @ q → [N, dh]
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            ) * scale
+            dqs.append(dq)
+            dks.append(dk)
+            dvs.append(dv)
+        dqkv_ref[e] = jnp.concatenate(
+            [c.astype(dqkv_ref.dtype) for c in dqs + dks + dvs], axis=1
+        )
+
+
+def packed_bwd_vmem_ok(
+    n: int, d: int, num_heads: int, elem_bytes: int = 2,
+    has_mask: bool = False, limit: int = 14 * 1024 * 1024,
+) -> bool:
+    """VMEM fit for the packed backward kernel: H head-chains each keep
+    ~2 live [N,N] f32 panels (p and dp; s and ds fuse into them), plus
+    double-buffered qkv/g/o/dqkv rows."""
+
+    def pad(x, m):
+        return -(-x // m) * m
+
+    panels = num_heads * 2 * pad(n, 8) * pad(n, 128) * 4
+    io = 2 * (2 * n * 3 * d + 2 * n * d) * elem_bytes
+    m_bytes = 2 * pad(n, 8) * pad(n, 128) * 4 if has_mask else 0
+    return panels + io + m_bytes <= limit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "mask_value", "block_b")
+)
+def _packed_backward(qkv, mask, out, lse, g, num_heads, scale, mask_value,
+                     block_b=1):
+    b, n, d3 = qkv.shape
+    while b % block_b:
+        block_b //= 2
+    operands = [qkv, g, out, lse]
+    in_specs = [
+        pl.BlockSpec((block_b, n, d3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, n, d3 // 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, n, d3 // 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, num_heads, n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    has_mask = mask is not None
+    if has_mask:
+        hm = mask.shape[1]
+        mdtype = jnp.bool_ if mask.dtype == jnp.bool_ else jnp.float32
+        mb = jnp.broadcast_to(mask.astype(mdtype), (b, hm, n, n))
+        in_specs.append(
+            pl.BlockSpec((block_b, hm, n, n), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(mb)
+
+    def kernel(*refs):
+        qr, gr, orr, lr = refs[:4]
+        mr = refs[4] if has_mask else None
+        dref = refs[5] if has_mask else refs[4]
+        _kernel_packed_bwd(qr, gr, orr, lr, mr, dref, num_heads=num_heads,
+                           scale=scale, mask_value=mask_value)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // block_b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, n, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d3), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * n * n * (d3 // 3 // num_heads),
+            bytes_accessed=qkv.size * 2 * 2 + 2 * b * n * (d3 // 3) * 2,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(*operands)
+
 
 def _packed_bwd(num_heads, scale, mask_value, res, g):
     """Backward from the saved per-head lse — no softmax-stat recompute.
@@ -380,11 +514,28 @@ def _packed_bwd(num_heads, scale, mask_value, res, g):
     b, n, d3 = qkv.shape
     d = d3 // 3
     dh = d // num_heads
+
+    impl = _BWD_IMPL
+    if impl == "auto":
+        if packed_bwd_vmem_ok(n, d, num_heads, elem_bytes=qkv.dtype.itemsize,
+                              has_mask=mask is not None):
+            impl = "kernel"
+        elif n >= 512 or b * num_heads * n * n * 4 > _CLOSED_FORM_MAX_BYTES:
+            impl = "flash"
+        else:
+            impl = "closed"
+
+    if impl == "kernel":
+        dqkv = _packed_backward(
+            qkv, mask, out, lse, g, num_heads, scale, mask_value
+        )
+        return dqkv, None
+
     q, k, v = _unpack(qkv, num_heads)
     o4 = out.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
     g4 = g.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
 
-    if n >= 512 or b * num_heads * n * n * 4 > _CLOSED_FORM_MAX_BYTES:
+    if impl == "flash":
         from msvit_tpu.ops.flash_attention import flash_attention_bwd
 
         dq, dk, dv = flash_attention_bwd(

@@ -161,3 +161,38 @@ def test_packed_grouped_matches_reference():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(want), atol=2e-2, rtol=2e-2
         )
+
+
+def test_packed_backward_impls_agree():
+    """All three backward implementations behind the packed custom VJP —
+    the packed-layout Pallas kernel (r3), the closed-form XLA math, and
+    the flash dQ/dKV kernels — produce the same dqkv (vs XLA autodiff)."""
+    import msvit_tpu.ops.packed_attention as pa
+
+    for use_mask in (False, True):
+        qkv = _qkv(11 + use_mask)
+        mask = None
+        if use_mask:
+            mask = jax.random.bernoulli(
+                jax.random.PRNGKey(13), 0.8, (B, 1, N, N)
+            )
+            mask = jnp.logical_or(mask, jnp.eye(N, dtype=bool)[None, None])
+
+        def loss_packed(x):
+            return jnp.sum(packed_attention(x, H, mask=mask) ** 2)
+
+        def loss_ref(x):
+            return jnp.sum(_reference(x, mask=mask) ** 2)
+
+        g_ref = jax.grad(loss_ref)(qkv)
+        old = pa._BWD_IMPL
+        try:
+            for impl in ("kernel", "closed", "flash"):
+                pa._BWD_IMPL = impl
+                g = jax.jit(jax.grad(loss_packed))(qkv)
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(g_ref), atol=3e-2, rtol=3e-2,
+                    err_msg=f"impl={impl} mask={use_mask}",
+                )
+        finally:
+            pa._BWD_IMPL = old
