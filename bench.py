@@ -90,7 +90,7 @@ def _build_fwd(mode: str, batch_size: int):
 
 
 def _throughput(mode: str) -> None:
-    batch_size = 512
+    batch_size = int(os.environ.get("MSVIT_BENCH_BS", "512"))
     iters = 20
     repeats = int(os.environ.get("MSVIT_BENCH_REPEATS", "5"))
     fwd, pix = _build_fwd(mode, batch_size)

@@ -1,0 +1,73 @@
+"""Is the 394 TOPS int8 nameplate reachable at all? (r3, VERDICT item 1)
+
+The serving-path int8 GEMMs measure ~227 TOPS effective *including* the
+dequant/requant epilogues — labeled "58% of peak" in r2.  Before chasing
+a Mosaic mega-kernel, establish the chip's actually-achievable int8 MXU
+ceiling: pure int8xint8->int32 matmuls, no epilogue, shapes swept from
+ViT sizes to MXU-saturating squares, queued timing.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from _timing import bench_queued
+
+
+def probe(m, k, n, chain=8, out_int8=False, tag=""):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (m, k), -127, 127, jnp.int8)
+    ws = [
+        jax.random.randint(jax.random.PRNGKey(i + 1), (k, n), -127, 127,
+                           jnp.int8)
+        for i in range(chain)
+    ]
+    if k != n:
+        chain = 1
+        ws = ws[:1]
+
+    @jax.jit
+    def f(i, x, ws):
+        # i-dependent input defeats memoization; int32 accum
+        h = (x + (i.astype(jnp.int8))).astype(jnp.int8)
+        acc = jnp.zeros((), jnp.float32)
+        for w in ws:
+            y = jax.lax.dot_general(
+                h, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            if out_int8:
+                h = (y >> 8).astype(jnp.int8)  # integer rescale, no f32
+            else:
+                acc = acc + jnp.sum(y).astype(jnp.float32)
+                continue
+        if out_int8:
+            acc = jnp.sum(h).astype(jnp.float32)
+        return acc
+
+    xi = jnp.asarray(0, jnp.int32)
+    dt = bench_queued(
+        lambda i: f(jnp.asarray(int(i) % 3, jnp.int32), x, ws), iters=8
+    )
+    tops = 2 * m * k * n * chain / dt / 1e12
+    print(f"{tag or f'{m}x{k}x{n}'} chain={chain} int8out={int(out_int8)}: "
+          f"{dt*1e3:7.2f} ms  {tops:6.1f} TOPS", flush=True)
+    return tops
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    # MXU-saturating squares, accumulate-sum epilogue only
+    probe(8192, 8192, 8192, chain=8, tag="square8k")
+    probe(4096, 4096, 4096, chain=8, tag="square4k")
+    # int8-out chain (integer shift rescale: cheapest possible epilogue)
+    probe(8192, 8192, 8192, chain=8, out_int8=True, tag="square8k")
+    # ViT serving shapes (M = 512*197)
+    probe(100864, 768, 3072, chain=1, tag="fc1")
+    probe(100864, 3072, 768, chain=1, tag="fc2")
+    probe(100864, 768, 768, chain=8, tag="chain768")

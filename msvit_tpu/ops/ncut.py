@@ -141,7 +141,7 @@ def ncut_shared(
     eigensolve shrinks to [mc, mc] and the affinity work is shared.  Each
     parent's anchor budget is ∝ its token share (capped at mc) instead of
     a full independent `num_sample` draw; on separated clusters the
-    embeddings agree with per-parent mode (tests/test_clustering.py).
+    embeddings agree with per-parent mode (tests/test_shared_anchors.py).
 
     Returns (eigvecs [C, n, num_eig], eigvals [C, num_eig] descending).
     """
@@ -162,21 +162,23 @@ def ncut_shared(
     xs = x[pool_idx]
     pool_valid = any_member[pool_idx]
 
-    # shared cross-products (computed once, vs C times in per-parent mode)
-    a_ss = _pairwise_affinity(xs, xs, distance, gamma, mm_dtype)  # [m, m]
-    a_nm = _pairwise_affinity(x, xs, distance, gamma, mm_dtype)  # [n, m]
-
     # per-parent compact anchor selection: the ≤mc pool anchors inside the
     # parent (Gumbel tie-break keeps the subsample unbiased when a big
-    # parent owns more than mc pool anchors)
+    # parent owns more than mc pool anchors).  The per-parent affinities
+    # are then recomputed from the gathered anchor FEATURES [C, mc, d]
+    # rather than gathered from shared [m,m]/[n,m] products: the values
+    # are identical, but [n, mc] column-gathers of a shared product are
+    # slower on TPU than the mc-sized cross-product matmuls themselves
+    # (chip-measured: the gather formulation lost 12.6 ms/batch e2e).
     amem = member_f[:, pool_idx] * pool_valid[None, :]  # [C, m]
     g2 = -jnp.log(-jnp.log(jax.random.uniform(
         k_sel, (c_max, m), minval=1e-9, maxval=1.0)))
     sel = jax.lax.top_k(jnp.where(amem > 0, g2, -jnp.inf), mc)[1]  # [C, mc]
     sel_valid = jnp.take_along_axis(amem, sel, axis=1) > 0  # [C, mc]
+    xs_sel = xs[sel]  # [C, mc, d] feature gather (small)
 
-    def one_parent(sel_c, valid_c, mem_c, k_c):
-        a_cc = a_ss[sel_c][:, sel_c]  # [mc, mc]
+    def one_parent(xs_c, valid_c, mem_c, k_c):
+        a_cc = _pairwise_affinity(xs_c, xs_c, distance, gamma, mm_dtype)
         vmask = valid_c[:, None] & valid_c[None, :]
         a_cc = jnp.where(vmask, a_cc, 0.0)
         d_s = jnp.sum(a_cc, axis=-1)
@@ -190,7 +192,7 @@ def ncut_shared(
             eigvals = ev[::-1][:num_eig]
             v = evec[:, ::-1][:, :num_eig]
 
-        a_nc = a_nm[:, sel_c]  # [n, mc] — gather of the shared product
+        a_nc = _pairwise_affinity(x, xs_c, distance, gamma, mm_dtype)
         a_nc = jnp.where(
             (mem_c[:, None] > 0) & valid_c[None, :], a_nc, 0.0
         )
@@ -204,7 +206,7 @@ def ncut_shared(
         return f, eigvals
 
     keys = jax.random.split(key, c_max)
-    return jax.vmap(one_parent)(sel, sel_valid, member_f, keys)
+    return jax.vmap(one_parent)(xs_sel, sel_valid, member_f, keys)
 
 
 @functools.partial(

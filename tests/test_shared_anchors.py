@@ -27,21 +27,27 @@ def _blob_tokens(seed, n_per, d, centers_scale=10.0, n_blobs=4):
 
 def test_ncut_shared_matches_per_parent_spectra():
     """Eigenvalues per parent agree with independent per-parent ncut on
-    separated blobs (parent 0 = blobs {0,1}, parent 1 = blobs {2,3})."""
+    separated blobs (parent 0 = blobs {0,1}, parent 1 = blobs {2,3}).
+
+    Cosine affinity: its scale is data-independent, so the spectra are
+    comparable across the two sampling bases.  (rbf normalizes by the
+    mean sampled squared distance, which legitimately differs between a
+    parent's own Gumbel draw and its shared-pool slice — the rbf-mode
+    guarantee is the partition test below, not eigenvalue equality.)"""
     x = _blob_tokens(0, n_per=40, d=8)  # [160, 8]
     parent = jnp.repeat(jnp.arange(2), 80)
     member = parent[None, :] == jnp.arange(4)[:, None]  # [C=4, 160]
 
     vecs, vals = ncut_shared(
         x, num_eig=4, key=jax.random.PRNGKey(0), member=member,
-        num_sample=128, anchors_per_parent=64,
+        num_sample=128, anchors_per_parent=64, distance="cosine",
     )
     assert vecs.shape == (4, 160, 4) and vals.shape == (4, 4)
 
     for c in range(2):
         _, vals_ref = ncut(
             x, num_eig=4, key=jax.random.PRNGKey(c + 1),
-            num_sample=128, mask=member[c],
+            num_sample=128, mask=member[c], distance="cosine",
         )
         # each parent holds two separated blobs → two dominant eigenvalues
         np.testing.assert_allclose(
