@@ -98,11 +98,21 @@ class BaseViTSelfAttention(nn.Module):
                 x.shape[-2], d, h, elem_bytes=jnp.dtype(compute).itemsize
             )
         if use_packed:
-            wp = w_qkv.astype(compute).reshape(d, 3 * h * dh)
+            # fold the 1/sqrt(dh) attention scale into the q-third of the
+            # projection (free in the GEMM) so the kernel skips a full
+            # [N,N] f32 VPU pass per head (scale=1.0 is a trace-time
+            # branch in ops/packed_attention.py)
+            scale = dh**-0.5
+            qscale = jnp.asarray([scale, 1.0, 1.0], compute).reshape(
+                1, 3, 1, 1
+            )
+            wp = (w_qkv.astype(compute) * qscale).reshape(d, 3 * h * dh)
             qkvp = x @ wp
             if b_qkv is not None:
-                qkvp = qkvp + b_qkv.astype(compute).reshape(3 * h * dh)
-            out = packed_attention(qkvp, h)
+                qkvp = qkvp + (b_qkv.astype(compute) * qscale[0]).reshape(
+                    3 * h * dh
+                )
+            out = packed_attention(qkvp, h, scale=1.0)
             if cfg.attention_probs_dropout_prob > 0.0 and not deterministic:
                 out = nn.Dropout(cfg.attention_probs_dropout_prob)(
                     out, deterministic=deterministic

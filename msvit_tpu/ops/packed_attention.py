@@ -53,7 +53,9 @@ def _kernel_masked(qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, scale,
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            )
+            if scale != 1.0:  # trace-time: pre-scaled q skips a VPU pass
+                s = s * scale
             if mask_ref is not None:
                 hm = mask_ref.shape[1]
                 m = mask_ref[e, h if hm > 1 else 0]
@@ -199,7 +201,9 @@ def _packed_forward_grouped(qkv, mask, num_heads, scale, mask_value,
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            )
+            if scale != 1.0:  # trace-time: pre-scaled q skips a VPU pass
+                s = s * scale
             if mr is not None:
                 m = mr[0, h if mr.shape[1] > 1 else 0]
                 if m.dtype == jnp.bool_:
@@ -394,7 +398,9 @@ def _kernel_packed_bwd(qkv_ref, g_ref, o_ref, lse_ref, mask_ref, dqkv_ref,
                             keepdims=True)  # [N, 1]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            ) * scale
+            )
+            if scale != 1.0:
+                s = s * scale
             if mask_ref is not None:
                 hm = mask_ref.shape[1]
                 m = mask_ref[e, h if hm > 1 else 0]
@@ -413,10 +419,13 @@ def _kernel_packed_bwd(qkv_ref, g_ref, o_ref, lse_ref, mask_ref, dqkv_ref,
             ds = (p * (dp - delta)).astype(x.dtype)
             dq = jax.lax.dot_general(
                 ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
-            ) * scale
+            )
             dk = jax.lax.dot_general(  # ds.T @ q → [N, dh]
                 ds, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
-            ) * scale
+            )
+            if scale != 1.0:
+                dq = dq * scale
+                dk = dk * scale
             dqs.append(dq)
             dks.append(dk)
             dvs.append(dv)
