@@ -63,6 +63,31 @@ def _kernel_masked(qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, scale,
                     s = jnp.where(m, s, mask_value)
                 else:
                     s = s + m.astype(jnp.float32)
+            if lse_ref is None:
+                # Inference: shaved softmax (r3 sweep, proto_packed_bf16_r3
+                # — 0.64 ms/layer off the f32 VPU chain over the scores).
+                # Softmax is shift-invariant, so the row max is only
+                # overflow protection: clamp to ±80 instead (197·e^80 =
+                # 1.1e37 < f32 max; post-LN scores are |s| ≪ 80, and a
+                # fully-masked row degrades to mean(v), exactly like XLA
+                # softmax of an all −1e9 row) — removes the max pass and
+                # the subtract.  exp writes the compute dtype directly and
+                # the row sum rides the MXU as a ones column appended to v
+                # — removes the sum and cast passes.  l ≥ N·e⁻⁸⁰ > 0, no
+                # zero guard needed.
+                pb = jnp.exp(jnp.clip(s, -80.0, 80.0)).astype(x.dtype)
+                ones = jnp.ones((pb.shape[1], 1), x.dtype)
+                v1 = jnp.concatenate([v, ones], axis=1)  # [N, dh+1]
+                o1 = jax.lax.dot_general(
+                    pb, v1, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append((o1[:, :dh] / o1[:, dh : dh + 1]).astype(
+                    o_ref.dtype
+                ))
+                continue
+            # Training forward: exact max-shifted softmax (the lse
+            # residual feeds the backward; keep its f32 accuracy).
             mx = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - mx)
             l = jnp.sum(p, axis=-1, keepdims=True)
@@ -74,8 +99,7 @@ def _kernel_masked(qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, scale,
             # divisions than normalizing the [N, N] probs)
             l_safe = jnp.where(l == 0.0, 1.0, l)
             outs.append((o / l_safe).astype(o_ref.dtype))
-            if lse_ref is not None:
-                lse_ref[e, h] = jnp.where(l > 0.0, mx + jnp.log(l_safe), 0.0)
+            lse_ref[e, h] = jnp.where(l > 0.0, mx + jnp.log(l_safe), 0.0)
         o_ref[e] = jnp.concatenate(outs, axis=1)
 
 
@@ -210,6 +234,24 @@ def _packed_forward_grouped(qkv, mask, num_heads, scale, mask_value,
                     s = jnp.where(m, s, mask_value)
                 else:
                     s = s + m.astype(jnp.float32)
+            if l_r is None:
+                # shaved inference softmax — see _kernel_masked.  The row
+                # sum uses a separate pb@ones dot here: concatenating a
+                # fresh ones column onto the lane-offset v slice dies in
+                # Mosaic at grouped shapes ("result/input offset mismatch
+                # on non-concat dimension", chip-verified at N=816).
+                pb = jnp.exp(jnp.clip(s, -80.0, 80.0)).astype(x.dtype)
+                ones = jnp.ones((pb.shape[1], 1), x.dtype)
+                l = jax.lax.dot_general(
+                    pb, ones, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o = jax.lax.dot_general(
+                    pb, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append((o / l).astype(o_r.dtype))
+                continue
             mx = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - mx)
             l = jnp.sum(p, axis=-1, keepdims=True)
@@ -219,8 +261,7 @@ def _packed_forward_grouped(qkv, mask, num_heads, scale, mask_value,
             )
             l_safe = jnp.where(l == 0.0, 1.0, l)
             outs.append((o / l_safe).astype(o_r.dtype))
-            if l_r is not None:
-                l_r[0, h] = jnp.where(l > 0.0, mx + jnp.log(l_safe), 0.0)
+            l_r[0, h] = jnp.where(l > 0.0, mx + jnp.log(l_safe), 0.0)
         o_r[0] = jnp.concatenate(outs, axis=1)
 
     out_shapes = [jax.ShapeDtypeStruct((b, n, d), qkv.dtype)]
