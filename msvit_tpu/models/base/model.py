@@ -82,21 +82,33 @@ class BaseViTSelfAttention(nn.Module):
             cfg.attn_implementation in ("auto", "packed")
             and context_states is None
             and not output_attentions
-            and attention_mask is None
+            and (attention_mask is None or attention_mask.ndim == 4)
             and x.ndim == 3
             and _packed_available()
         )
         if use_packed:
             from msvit_tpu.ops.packed_attention import (
+                grouped_vmem_ok,
                 packed_attention,
                 packed_vmem_ok,
             )
 
-            # the kernel holds every head's [N,N] scores in VMEM at once;
-            # beyond the budget fall back to fused/flash (grid over heads)
-            use_packed = packed_vmem_ok(
-                x.shape[-2], d, h, elem_bytes=jnp.dtype(compute).itemsize
-            )
+            # the all-heads kernel holds every head's [N,N] scores in
+            # VMEM at once; the head-grouped variant (grid over head
+            # pairs, dp-scratch backward) extends coverage to the
+            # mid/long regime incl. multistate's 816-token soft-masked
+            # layers.  Beyond both, fall back to fused/flash (grid over
+            # heads).
+            n_tok = x.shape[-2]
+            eb = jnp.dtype(compute).itemsize
+            has_mask = attention_mask is not None
+            if has_mask and attention_mask.shape[-2:] != (n_tok, n_tok):
+                use_packed = False  # not plain self-attention
+            else:
+                use_packed = packed_vmem_ok(
+                    n_tok, d, h, elem_bytes=eb, has_mask=has_mask
+                ) or grouped_vmem_ok(n_tok, d, h, elem_bytes=eb,
+                                     has_mask=has_mask)
         if use_packed:
             # fold the 1/sqrt(dh) attention scale into the q-third of the
             # projection (free in the GEMM) so the kernel skips a full
@@ -112,7 +124,7 @@ class BaseViTSelfAttention(nn.Module):
                 qkvp = qkvp + (b_qkv.astype(compute) * qscale[0]).reshape(
                     3 * h * dh
                 )
-            out = packed_attention(qkvp, h, scale=1.0)
+            out = packed_attention(qkvp, h, mask=attention_mask, scale=1.0)
             if cfg.attention_probs_dropout_prob > 0.0 and not deterministic:
                 out = nn.Dropout(cfg.attention_probs_dropout_prob)(
                     out, deterministic=deterministic

@@ -86,20 +86,23 @@ def _kernel_masked(qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, scale,
                     o_ref.dtype
                 ))
                 continue
-            # Training forward: exact max-shifted softmax (the lse
-            # residual feeds the backward; keep its f32 accuracy).
-            mx = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - mx)
-            l = jnp.sum(p, axis=-1, keepdims=True)
+            # Training forward: no-max softmax with an f32 sum.  In f32,
+            # log(Σ exp(clip(s))) carries the same relative accuracy as
+            # the max-shifted mx + log(Σ exp(s−mx)) for every |s| < 80
+            # (exp has ~1 ulp relative error at any scale and the clamp
+            # bounds the sum inside f32 range), so the lse residual loses
+            # nothing while the max pass disappears.  The sum stays an
+            # f32 VPU pass — the backward's accuracy anchor.
+            p = jnp.exp(jnp.clip(s, -80.0, 80.0))
+            l = jnp.sum(p, axis=-1, keepdims=True)  # ≥ N·e⁻⁸⁰ > 0
             o = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             # defer the 1/l normalization to the [N, dh] output (3x fewer
             # divisions than normalizing the [N, N] probs)
-            l_safe = jnp.where(l == 0.0, 1.0, l)
-            outs.append((o / l_safe).astype(o_ref.dtype))
-            lse_ref[e, h] = jnp.where(l > 0.0, mx + jnp.log(l_safe), 0.0)
+            outs.append((o / l).astype(o_ref.dtype))
+            lse_ref[e, h] = jnp.log(l)
         o_ref[e] = jnp.concatenate(outs, axis=1)
 
 
@@ -252,16 +255,15 @@ def _packed_forward_grouped(qkv, mask, num_heads, scale, mask_value,
                 )
                 outs.append((o / l).astype(o_r.dtype))
                 continue
-            mx = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - mx)
+            # no-max training forward — see _kernel_masked
+            p = jnp.exp(jnp.clip(s, -80.0, 80.0))
             l = jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            l_safe = jnp.where(l == 0.0, 1.0, l)
-            outs.append((o / l_safe).astype(o_r.dtype))
-            l_r[0, h] = jnp.where(l > 0.0, mx + jnp.log(l_safe), 0.0)
+            outs.append((o / l).astype(o_r.dtype))
+            l_r[0, h] = jnp.log(l)
         o_r[0] = jnp.concatenate(outs, axis=1)
 
     out_shapes = [jax.ShapeDtypeStruct((b, n, d), qkv.dtype)]
@@ -406,7 +408,7 @@ def _unpack(qkv, num_heads):
 _CLOSED_FORM_MAX_BYTES = 768 * 1024 * 1024
 
 # backward dispatch override for benches/tests: "auto" | "kernel" |
-# "closed" | "flash"
+# "grouped" | "closed" | "flash"
 _BWD_IMPL = "auto"
 
 
@@ -449,15 +451,18 @@ def _kernel_packed_bwd(qkv_ref, g_ref, o_ref, lse_ref, mask_ref, dqkv_ref,
                     s = jnp.where(m, s, mask_value)
                 else:
                     s = s + m.astype(f32)
-            p = jnp.exp(s - lse_ref[e, h][:, None])  # [N, N] f32
-            pb = p.astype(x.dtype)
+            # exp writes the compute dtype directly (fused cast — one VPU
+            # pass instead of exp + cast); ds then reads pb back, which
+            # for f32 inputs is exact and for bf16 adds only the same
+            # rounding the dv/o dots already see.
+            pb = jnp.exp(s - lse_ref[e, h][:, None]).astype(x.dtype)
             dv = jax.lax.dot_general(  # p.T @ gh → [N, dh]
                 pb, gh, (((0,), (0,)), ((), ())), preferred_element_type=f32
             )
             dp = jax.lax.dot_general(  # gh @ v.T → [N, N]
                 gh, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
             )
-            ds = (p * (dp - delta)).astype(x.dtype)
+            ds = (pb.astype(f32) * (dp - delta)).astype(x.dtype)
             dq = jax.lax.dot_general(
                 ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
             )
@@ -473,6 +478,166 @@ def _kernel_packed_bwd(qkv_ref, g_ref, o_ref, lse_ref, mask_ref, dqkv_ref,
         dqkv_ref[e] = jnp.concatenate(
             [c.astype(dqkv_ref.dtype) for c in dqs + dks + dvs], axis=1
         )
+
+
+def _kernel_packed_bwd_grouped(qkv_ref, g_ref, o_ref, lse_ref, mask_ref,
+                               dqkv_ref, dp_scr, *, head_group, dh, scale,
+                               mask_value):
+    """Head-grouped packed backward body (one image × `head_group` heads
+    per program).  The dp panel routes through the `dp_scr` VMEM scratch:
+    the write-then-read serializes the per-head dataflow chains (head
+    h+1's store must wait for head h's load), so Mosaic keeps only ONE
+    head's [N,N] panels live instead of stacking `head_group` independent
+    chains — the same buffer-reuse trick cannot be expressed with values
+    alone (the python loop builds parallel chains; see packed_vmem_ok)."""
+    f32 = jnp.float32
+    x = qkv_ref[0]  # [N, 3, gw]
+    go = g_ref[0]  # [N, gw]
+    oo = o_ref[0]
+    dqs, dks, dvs = [], [], []
+    for h in range(head_group):
+        q = x[:, 0, h * dh : (h + 1) * dh]
+        k = x[:, 1, h * dh : (h + 1) * dh]
+        v = x[:, 2, h * dh : (h + 1) * dh]
+        gh = go[:, h * dh : (h + 1) * dh]
+        oh = oo[:, h * dh : (h + 1) * dh]
+        delta = jnp.sum(gh.astype(f32) * oh.astype(f32), axis=-1,
+                        keepdims=True)  # [N, 1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+        if scale != 1.0:
+            s = s * scale
+        if mask_ref is not None:
+            m = mask_ref[0, h if mask_ref.shape[1] > 1 else 0]
+            if m.dtype == jnp.bool_:
+                s = jnp.where(m, s, mask_value)
+            else:
+                s = s + m.astype(f32)
+        pb = jnp.exp(s - lse_ref[0, h][:, None]).astype(x.dtype)
+        dv = jax.lax.dot_general(  # p.T @ gh → [N, dh]
+            pb, gh, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dp_scr[...] = jax.lax.dot_general(  # gh @ v.T → [N, N]
+            gh, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+        ds = (pb.astype(f32) * (dp_scr[...] - delta)).astype(x.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dk = jax.lax.dot_general(  # ds.T @ q → [N, dh]
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        if scale != 1.0:
+            dq = dq * scale
+            dk = dk * scale
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    dqkv_ref[0] = jnp.stack(
+        [
+            jnp.concatenate([c.astype(dqkv_ref.dtype) for c in cs], axis=1)
+            for cs in (dqs, dks, dvs)
+        ],
+        axis=1,
+    )
+
+
+def grouped_bwd_vmem_ok(
+    n: int, d: int, num_heads: int, elem_bytes: int = 2,
+    has_mask: bool = False, head_group: int = 2,
+    limit: int = 15 * 1024 * 1024 + 512 * 1024,
+) -> bool:
+    """VMEM fit for the head-grouped packed backward: the dp-scratch
+    serialization keeps one head's panels live (s/dp f32 + pb/ds in the
+    compute dtype), plus double-buffered lane-group operands and one mask
+    panel (float masks are shipped bf16 — the model's additive masks are
+    0/−1e2, bf16-exact).  The limit is 15.5 MB (not the conservative
+    14 MB of the other gates): the panel term double-counts s and the
+    dp scratch (s dies into pb before dp is written), so the estimate
+    overshoots — the multistate 816-token masked case (est. 15.0 MB)
+    compiles and runs chip-verified."""
+    if (head_group * (d // num_heads)) % 128:
+        return False
+    if num_heads % head_group:
+        return False
+
+    def pad(x, m):
+        return -(-x // m) * m
+
+    panel = pad(n, 8) * pad(n, 128)
+    panels = panel * (4 + 4 + 2 * elem_bytes)
+    gw = head_group * (d // num_heads)
+    io = 2 * (2 * n * 3 * gw + 2 * n * gw) * elem_bytes
+    m_bytes = 2 * panel * 2 if has_mask else 0
+    return panels + io + m_bytes <= limit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "mask_value", "head_group"),
+)
+def _packed_backward_grouped(qkv, mask, out, lse, g, num_heads, scale,
+                             mask_value, head_group=2):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    hg = head_group
+    gw = hg * dh
+    qkv4 = qkv.reshape(b, n, 3, d)
+    operands = [qkv4, g, out, lse]
+    in_specs = [
+        pl.BlockSpec((1, n, 3, gw), lambda i, j: (i, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, gw), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, gw), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, n), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    has_mask = mask is not None
+    if has_mask:
+        hm = mask.shape[1]
+        # float masks ride bf16: the model's additive masks are 0/−1e2
+        # (bf16-exact); halves the dominant VMEM operand at long N.
+        mdtype = jnp.bool_ if mask.dtype == jnp.bool_ else jnp.bfloat16
+        mb = jnp.broadcast_to(mask.astype(mdtype), (b, hm, n, n))
+        if hm == 1:
+            mspec = pl.BlockSpec((1, 1, n, n), lambda i, j: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        else:
+            mspec = pl.BlockSpec((1, hg, n, n), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs.append(mspec)
+        operands.append(mb)
+
+    def kernel(*refs):
+        qr, gr, orr, lr = refs[:4]
+        mr = refs[4] if has_mask else None
+        dref = refs[5] if has_mask else refs[4]
+        scr = refs[6] if has_mask else refs[5]
+        _kernel_packed_bwd_grouped(
+            qr, gr, orr, lr, mr, dref, scr, head_group=hg, dh=dh,
+            scale=scale, mask_value=mask_value,
+        )
+
+    dqkv4 = pl.pallas_call(
+        kernel,
+        grid=(b, num_heads // hg),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, 3, gw), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, 3, d), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * n * n * dh,
+            bytes_accessed=qkv.size * 2 * 2 + 2 * b * n * d * 2,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(*operands)
+    return dqkv4.reshape(b, n, d3)
 
 
 def packed_bwd_vmem_ok(
@@ -548,18 +713,20 @@ def _packed_backward(qkv, mask, out, lse, g, num_heads, scale, mask_value,
 def _packed_bwd(num_heads, scale, mask_value, res, g):
     """Backward from the saved per-head lse — no softmax-stat recompute.
 
-    Two regimes (chosen at trace time from the static shapes):
-    * small [B,H,N,N] transient (< _CLOSED_FORM_MAX_BYTES): closed-form
-      XLA math (rebuild p = exp(s − lse), standard five-matmul attention
-      backward).  At short sequences the Pallas custom-call boundary
-      loses to XLA's fusion (ViT-B train: 566 vs 491 img/s —
-      benchmarks/bench_train.py), and the transient is what XLA autodiff
-      would allocate anyway.
-    * long sequences (N ≥ 512) or large transients: the shared Pallas
-      flash dQ/dKV kernels (ops/flash_attention.py) — O(N²) never hits
-      HBM.
+    Regimes (chosen at trace time from the static shapes):
+    * all-heads packed kernel while `packed_bwd_vmem_ok` (N ≲ 256 at
+      H=12) — one image per program, dqkv emitted packed [N,3D];
+    * head-grouped packed kernel while `grouped_bwd_vmem_ok` (mid/long
+      regime, covers multistate's 816-token soft-masked layers) — grid
+      (B, H/2), dp routed through a VMEM scratch so only one head's
+      [N,N] panels are ever live;
+    * beyond that: the shared Pallas flash dQ/dKV kernels
+      (ops/flash_attention.py) for long sequences / large transients,
+      or closed-form XLA math for small ones (at short sequences the
+      Pallas custom-call boundary loses to XLA's fusion — ViT-B train:
+      566 vs 491 img/s, benchmarks/bench_train.py).
     The r2 XLA-*recompute* backward (re-running a full forward) is gone
-    either way."""
+    in every regime."""
     qkv, mask, out, lse = res
     b, n, d3 = qkv.shape
     d = d3 // 3
@@ -570,6 +737,10 @@ def _packed_bwd(num_heads, scale, mask_value, res, g):
         if packed_bwd_vmem_ok(n, d, num_heads, elem_bytes=qkv.dtype.itemsize,
                               has_mask=mask is not None):
             impl = "kernel"
+        elif grouped_bwd_vmem_ok(n, d, num_heads,
+                                 elem_bytes=qkv.dtype.itemsize,
+                                 has_mask=mask is not None):
+            impl = "grouped"
         elif n >= 512 or b * num_heads * n * n * 4 > _CLOSED_FORM_MAX_BYTES:
             impl = "flash"
         else:
@@ -577,6 +748,11 @@ def _packed_bwd(num_heads, scale, mask_value, res, g):
 
     if impl == "kernel":
         dqkv = _packed_backward(
+            qkv, mask, out, lse, g, num_heads, scale, mask_value
+        )
+        return dqkv, None
+    if impl == "grouped":
+        dqkv = _packed_backward_grouped(
             qkv, mask, out, lse, g, num_heads, scale, mask_value
         )
         return dqkv, None

@@ -164,9 +164,10 @@ def test_packed_grouped_matches_reference():
 
 
 def test_packed_backward_impls_agree():
-    """All three backward implementations behind the packed custom VJP —
-    the packed-layout Pallas kernel (r3), the closed-form XLA math, and
-    the flash dQ/dKV kernels — produce the same dqkv (vs XLA autodiff)."""
+    """All four backward implementations behind the packed custom VJP —
+    the packed-layout Pallas kernel (r3), the head-grouped scratch
+    variant (r3), the closed-form XLA math, and the flash dQ/dKV kernels
+    — produce the same dqkv (vs XLA autodiff)."""
     import msvit_tpu.ops.packed_attention as pa
 
     for use_mask in (False, True):
@@ -187,7 +188,7 @@ def test_packed_backward_impls_agree():
         g_ref = jax.grad(loss_ref)(qkv)
         old = pa._BWD_IMPL
         try:
-            for impl in ("kernel", "closed", "flash"):
+            for impl in ("kernel", "grouped", "closed", "flash"):
                 pa._BWD_IMPL = impl
                 g = jax.jit(jax.grad(loss_packed))(qkv)
                 np.testing.assert_allclose(
@@ -196,3 +197,32 @@ def test_packed_backward_impls_agree():
                 )
         finally:
             pa._BWD_IMPL = old
+
+
+def test_packed_grouped_backward_per_head_mask():
+    """The head-grouped backward's hg-sliced mask BlockSpec (per-head
+    additive masks, multistate-style) agrees with XLA autodiff."""
+    import msvit_tpu.ops.packed_attention as pa
+
+    qkv = _qkv(17)
+    mask = (
+        jax.random.bernoulli(jax.random.PRNGKey(18), 0.5, (B, H, N, N))
+        * -100.0
+    ).astype(jnp.float32)
+
+    def loss_packed(x):
+        return jnp.sum(packed_attention(x, H, mask=mask) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(_reference(x, mask=mask) ** 2)
+
+    g_ref = jax.grad(loss_ref)(qkv)
+    old = pa._BWD_IMPL
+    try:
+        pa._BWD_IMPL = "grouped"
+        g = jax.jit(jax.grad(loss_packed))(qkv)
+    finally:
+        pa._BWD_IMPL = old
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=3e-2, rtol=3e-2
+    )
