@@ -77,6 +77,56 @@ def test_tp_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_multistate_dp_forward_matches_replicated():
+    """DP-sharded multistate forward (clustering included) ≡ unsharded —
+    the non-base families ride the same declarative sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from msvit_tpu.models.clustering import SpectralClusteringConfig
+    from msvit_tpu.models.multistate import (
+        MultiStateViTConfig,
+        MultiStateViTEncoderModel,
+    )
+
+    cfg = MultiStateViTConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        image_size=32,
+        patch_size=8,
+        pregeneration_period=1,
+        generation_period=1,
+        policy=parity_policy(),
+        attn_implementation="xla",
+        clustering=SpectralClusteringConfig(
+            ncut_dim=4, num_sample=16, max_clusters=4,
+            eigenvalue_threshold=0.1,
+        ),
+    )
+    model = MultiStateViTEncoderModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    pix = jax.random.normal(rng, (8, 32, 32, 3), dtype=jnp.float32)
+    params = jax.jit(model.init)(
+        {"params": rng, "clustering": rng}, pix[:1]
+    )
+    key = jax.random.PRNGKey(3)
+    ref = model.apply(params, pix, rngs={"clustering": key})
+
+    mesh = make_mesh(tp=1)
+    p_sh = shard_params(mesh, params)
+    pix_sh = jax.device_put(
+        pix, NamedSharding(mesh, P("data", None, None, None))
+    )
+    got = jax.jit(
+        lambda p, x: model.apply(p, x, rngs={"clustering": key})
+    )(p_sh, pix_sh)
+    np.testing.assert_allclose(
+        np.asarray(got["last_hidden_state"]),
+        np.asarray(ref["last_hidden_state"]),
+        atol=1e-5,
+    )
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__
 
