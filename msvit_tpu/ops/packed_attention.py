@@ -534,13 +534,12 @@ def _kernel_packed_bwd_grouped(qkv_ref, g_ref, o_ref, lse_ref, mask_ref,
         dqs.append(dq)
         dks.append(dk)
         dvs.append(dv)
-    dqkv_ref[0] = jnp.stack(
-        [
-            jnp.concatenate([c.astype(dqkv_ref.dtype) for c in cs], axis=1)
-            for cs in (dqs, dks, dvs)
-        ],
-        axis=1,
-    )
+    # three slice stores on the section dim (not jnp.stack: slice
+    # assignment is the store pattern the chip-proven kernels use)
+    for sec, cs in enumerate((dqs, dks, dvs)):
+        dqkv_ref[0, :, sec, :] = jnp.concatenate(
+            [c.astype(dqkv_ref.dtype) for c in cs], axis=1
+        )
 
 
 def grouped_bwd_vmem_ok(
