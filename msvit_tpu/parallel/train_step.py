@@ -19,22 +19,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from msvit_tpu.parallel.sharding import param_shardings
 
 
+def _zero1_spec(spec: P, shape, data_size: int):
+    """Extend a param's PartitionSpec with "data" on one axis (ZeRO-1).
+
+    Picks the largest axis that is still unsharded and divisible by the
+    data-parallel degree; returns None when no axis qualifies (the leaf
+    stays at the param's own sharding).
+    """
+    ndim = len(shape)
+    entries = list(spec) + [None] * (ndim - len(spec))
+    best = -1
+    for i, (s, n) in enumerate(zip(entries, shape)):
+        if s is None and n > 0 and n % data_size == 0:
+            if best < 0 or n > shape[best]:
+                best = i
+    if best < 0:
+        return None
+    entries[best] = "data"
+    return P(*entries)
+
+
 def make_sharded_train_step(
     loss_fn: Callable[..., Tuple[jnp.ndarray, Any]],
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     params: Any,
     donate: bool = True,
+    zero1: bool = False,
 ):
     """Build (step, sharded_params, sharded_opt_state).
 
     loss_fn(params, batch, rng) -> (scalar loss, aux dict).
     The returned step is jitted with explicit shardings:
     params/opt_state per TP rules, batch on "data".
+
+    zero1=True additionally shards optimizer-state tensors (adam m/v)
+    over the "data" axis — ZeRO stage 1: params stay replicated across
+    DP, but each DP rank keeps only 1/dp of the optimizer state and
+    updates its slice; GSPMD inserts the grad reduce-scatter and the
+    update all-gather.  At dp=8 this is 8x less optimizer HBM per
+    device (ViT-B adamw f32 m+v: 686 MB -> 86 MB).
     """
     p_shard = param_shardings(mesh, params)
     params = jax.device_put(params, p_shard)
     opt_state = optimizer.init(params)
+    data_size = mesh.shape.get("data", 1)
 
     # Optimizer-state sharding: leaves shaped like a param (adam m/v)
     # reuse that param's sharding; scalars/counters are replicated.
@@ -45,6 +74,10 @@ def make_sharded_train_step(
         if hasattr(leaf, "shape"):
             for p_leaf, s in zip(flat_params, flat_shards):
                 if leaf.shape == p_leaf.shape and leaf.shape != ():
+                    if zero1 and data_size > 1:
+                        z = _zero1_spec(s.spec, leaf.shape, data_size)
+                        if z is not None:
+                            return NamedSharding(mesh, z)
                     return s
         return NamedSharding(mesh, P())
 

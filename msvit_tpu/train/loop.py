@@ -61,15 +61,57 @@ def train_step_fn(
     loss_fn: Callable[[Any, Any, jax.Array], Tuple[jnp.ndarray, Any]],
     optimizer: optax.GradientTransformation,
     donate: bool = True,
+    num_microbatches: int = 1,
 ):
     """Build a jitted step: (params, opt_state, batch, rng) →
     (params, opt_state, loss, aux).  loss_fn(params, batch, rng) →
-    (scalar, aux)."""
+    (scalar, aux).
+
+    num_microbatches > 1 enables gradient accumulation: the batch's
+    leading axis is split into that many microbatches and a single
+    `lax.scan` inside the jit accumulates the mean gradient — one
+    optimizer update, one compiled program, no per-microbatch host
+    round-trips.  With mean-reduced losses and equal microbatch sizes
+    this is numerically the full-batch gradient, at ~1/M the activation
+    memory (an alternative to remat for large effective batches)."""
+
+    def grad_once(params, batch, rng):
+        return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
 
     def step(params, opt_state, batch, rng):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, rng
-        )
+        if num_microbatches > 1:
+            m = num_microbatches
+
+            def split(x):
+                assert x.shape[0] % m == 0, (
+                    f"batch axis {x.shape[0]} not divisible by "
+                    f"num_microbatches={m}"
+                )
+                return x.reshape((m, x.shape[0] // m) + x.shape[1:])
+
+            micro = jax.tree.map(split, batch)
+            keys = jax.random.split(rng, m)
+
+            def body(g_acc, mb_key):
+                mb, key = mb_key
+                (loss, aux), g = grad_once(params, mb, key)
+                # accumulate in f32 even under a bf16 param policy
+                g_acc = jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), g_acc, g
+                )
+                return g_acc, (loss, aux)
+
+            g0 = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params
+            )
+            g_sum, (losses, auxs) = jax.lax.scan(body, g0, (micro, keys))
+            grads = jax.tree.map(
+                lambda g, p: (g / m).astype(p.dtype), g_sum, params
+            )
+            loss = losses.mean()
+            aux = jax.tree.map(lambda a: a.mean(axis=0), auxs)
+        else:
+            (loss, aux), grads = grad_once(params, batch, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux

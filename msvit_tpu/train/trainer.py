@@ -29,8 +29,12 @@ class Trainer:
         metrics_path: Optional[str] = None,
         log_every: int = 25,
         donate: bool = True,
+        num_microbatches: int = 1,
     ):
-        self.step_fn = train_step_fn(loss_fn, optimizer, donate=donate)
+        self.step_fn = train_step_fn(
+            loss_fn, optimizer, donate=donate,
+            num_microbatches=num_microbatches,
+        )
         self.params = params
         self.opt_state = optimizer.init(params)
         self.step = 0

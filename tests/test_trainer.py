@@ -47,6 +47,33 @@ def test_trainer_converges_and_logs(tmp_path):
     assert "mse" in records[-1]
 
 
+def test_grad_accumulation_matches_full_batch():
+    """num_microbatches=4 must produce the same update as the full-batch
+    step (mean-reduced loss, equal microbatch sizes, rng-independent
+    loss)."""
+    from msvit_tpu.train.loop import train_step_fn
+
+    loss_fn, params, _ = _toy()
+    batch = jax.random.normal(jax.random.PRNGKey(7), (16, 3))
+    opt = optax.adamw(1e-2)
+
+    step1 = train_step_fn(loss_fn, opt, donate=False)
+    p1, _, l1, aux1 = step1(params, opt.init(params), batch,
+                            jax.random.PRNGKey(0))
+
+    step4 = train_step_fn(loss_fn, opt, donate=False, num_microbatches=4)
+    p4, _, l4, aux4 = step4(params, opt.init(params), batch,
+                            jax.random.PRNGKey(0))
+
+    # microbatch-mean of per-microbatch MSE == full-batch MSE
+    np.testing.assert_allclose(float(l4), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(float(aux4["mse"]), float(aux1["mse"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p4["w"]), np.asarray(p1["w"]), atol=1e-6
+    )
+
+
 def test_trainer_checkpoint_resume(tmp_path):
     loss_fn, params, batches = _toy()
     ckpt = str(tmp_path / "ck")
