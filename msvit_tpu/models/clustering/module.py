@@ -14,8 +14,11 @@
   provided as an experimental variant).
 
 Divergences from the reference (documented per SURVEY §7):
-* cuML KMeans/HDBSCAN → our jittable KMeans; HDBSCAN debug paths are out
-  of scope (the production path never needs them).
+* cuML KMeans → our jittable KMeans; the cuML-HDBSCAN debug paths
+  (HDBNCUT anchor filter, `visualize` labelling) are served by
+  `msvit_tpu.ops.hdbscan` (device MST + host extraction,
+  sklearn-golden-tested) — nothing in the production forward uses them,
+  exactly as upstream.
 * the reference's `n_children == 0` branch assigns ids that collide with
   the next parent's children (`modeling_spectral.py:91-94` doesn't
   advance the counter); we clamp to ≥1 child (the evident intent).

@@ -11,6 +11,10 @@
 * kmeans      — fixed-iteration segment-sum KMeans (replaces cuML KMeans).
 * fps         — farthest point sampling (replaces the reference's missing
                 `utils.fps` / torch_fpsample).
+* hdbscan     — HDBSCAN for the debug clustering paths (replaces cuML
+                HDBSCAN in HDBNCUT / `visualize`,
+                `modeling_spectral.py:24-39,96-130`): device MR-graph MST,
+                host condensed-tree extraction.
 """
 
 from msvit_tpu.ops.attention import multi_head_attention  # noqa: F401
