@@ -12,3 +12,7 @@ from msvit_tpu.models.base.model import (  # noqa: F401
     BaseViTSelfAttention,
 )
 from msvit_tpu.models.base.vit import ViTModel, ViTEmbeddings  # noqa: F401
+from msvit_tpu.models.base.pruning import (  # noqa: F401
+    prune_heads,
+    prune_heads_masked,
+)

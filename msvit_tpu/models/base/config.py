@@ -63,8 +63,16 @@ class BaseViTConfig:
     # running under a ("data","model") mesh context (jax.sharding.use_mesh).
     sequence_sharding: bool = False
 
+    # Explicit per-head size.  None = hidden_size // num_attention_heads;
+    # set by head pruning (models/base/pruning.py), where the remaining
+    # head count no longer divides hidden_size (HF keeps the same value
+    # as a module attribute after `prune_heads`).
+    attention_head_size: Optional[int] = None
+
     @property
     def head_dim(self) -> int:
+        if self.attention_head_size is not None:
+            return self.attention_head_size
         if self.hidden_size % self.num_attention_heads:
             raise ValueError(
                 f"hidden_size {self.hidden_size} not divisible by "
