@@ -6,3 +6,8 @@ from msvit_tpu.data.pipeline import (  # noqa: F401
     load_image_batches,
     preprocess_images,
 )
+from msvit_tpu.data.resumable import (  # noqa: F401
+    IndexSampler,
+    ResumableLoader,
+    feistel_permutation,
+)

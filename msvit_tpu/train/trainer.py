@@ -46,17 +46,30 @@ class Trainer:
         )
         self.metrics = MetricsLogger(metrics_path) if metrics_path else None
 
-    def restore(self) -> int:
-        """Resume from the latest checkpoint, if any.  Returns the step."""
+    def restore(self, data_iter: Any = None) -> int:
+        """Resume from the latest checkpoint, if any.  Returns the step.
+
+        Pass the training iterator as `data_iter` when it is stateful
+        (`state_dict`/`load_state_dict`, e.g.
+        `data.resumable.ResumableLoader`): its position is restored too,
+        so the resumed run consumes exactly the batches the interrupted
+        run would have (deterministic mid-epoch resume)."""
         if self.ckpt is None:
             return 0
+        stateful = data_iter is not None and hasattr(data_iter, "state_dict")
         state = {"params": self.params, "opt_state": self.opt_state,
                  "step": jnp.asarray(0)}
+        if stateful:
+            state["data"] = data_iter.state_dict()
         step, state = self.ckpt.restore_latest(state)
         if step:
             self.params = state["params"]
             self.opt_state = state["opt_state"]
             self.step = int(state["step"])
+            if stateful:
+                data_iter.load_state_dict(
+                    {k: int(v) for k, v in state["data"].items()}
+                )
         return self.step
 
     def fit(
@@ -65,12 +78,15 @@ class Trainer:
         num_steps: int,
         rng: jax.Array,
     ) -> float:
-        """Run `num_steps` updates; returns the final loss."""
+        """Run `num_steps` updates; returns the final loss.
+
+        The per-step rng is `fold_in(rng, step)` (not a running split),
+        so a resumed run replays the interrupted run's keys exactly."""
         loss = float("nan")
         for batch in batches:
             if self.step >= num_steps:
                 break
-            rng, key = jax.random.split(rng)
+            key = jax.random.fold_in(rng, self.step)
             self.params, self.opt_state, loss_dev, aux = self.step_fn(
                 self.params, self.opt_state, batch, key
             )
@@ -85,14 +101,14 @@ class Trainer:
                     }
                     self.metrics.log(self.step, loss=loss, **scalars)
             if self.ckpt:
-                self.ckpt.maybe_save(
-                    self.step,
-                    {
-                        "params": self.params,
-                        "opt_state": self.opt_state,
-                        "step": jnp.asarray(self.step),
-                    },
-                )
+                snapshot = {
+                    "params": self.params,
+                    "opt_state": self.opt_state,
+                    "step": jnp.asarray(self.step),
+                }
+                if hasattr(batches, "state_dict"):
+                    snapshot["data"] = batches.state_dict()
+                self.ckpt.maybe_save(self.step, snapshot)
         if self.ckpt:
             self.ckpt.close()
         if self.metrics:
