@@ -62,6 +62,7 @@ def train_step_fn(
     optimizer: optax.GradientTransformation,
     donate: bool = True,
     num_microbatches: int = 1,
+    monitor: bool = False,
 ):
     """Build a jitted step: (params, opt_state, batch, rng) →
     (params, opt_state, loss, aux).  loss_fn(params, batch, rng) →
@@ -112,6 +113,18 @@ def train_step_fn(
             aux = jax.tree.map(lambda a: a.mean(axis=0), auxs)
         else:
             (loss, aux), grads = grad_once(params, batch, rng)
+        if monitor:
+            # stays on device (no per-step host sync): the Trainer reads
+            # these only at log boundaries, where it syncs anyway
+            aux = dict(aux or {})
+            aux["grad_norm"] = optax.global_norm(grads)
+            leaf_ok = [
+                jnp.all(jnp.isfinite(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)
+            ]
+            aux["grads_finite"] = jnp.all(jnp.stack(leaf_ok)) & jnp.isfinite(
+                loss.astype(jnp.float32)
+            )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux

@@ -30,10 +30,19 @@ class Trainer:
         log_every: int = 25,
         donate: bool = True,
         num_microbatches: int = 1,
+        monitor: bool = False,
+        max_nonfinite: int = 10,
     ):
+        if monitor:
+            # production guard, all on device (no per-step host sync):
+            # non-finite-gradient steps are skipped (params/opt state
+            # untouched) and the run errors out after `max_nonfinite`
+            # consecutive bad steps; grad_norm/grads_finite ride the aux
+            # dict and surface in the JSONL metrics at log boundaries.
+            optimizer = optax.apply_if_finite(optimizer, max_nonfinite)
         self.step_fn = train_step_fn(
             loss_fn, optimizer, donate=donate,
-            num_microbatches=num_microbatches,
+            num_microbatches=num_microbatches, monitor=monitor,
         )
         self.params = params
         self.opt_state = optimizer.init(params)

@@ -93,3 +93,29 @@ def test_trainer_checkpoint_resume(tmp_path):
     step = tr2.restore()
     assert step == 100
     np.testing.assert_allclose(np.asarray(tr2.params["w"]), w_trained)
+
+
+def test_monitor_skips_nonfinite_and_reports_grad_norm(tmp_path):
+    import optax
+
+    # loss goes NaN on batches whose first element is negative
+    def loss_fn(params, batch, rng):
+        bad = batch[0, 0] < 0
+        loss = jnp.where(bad, jnp.nan, jnp.mean((batch @ params["w"]) ** 2))
+        return loss, {}
+
+    good = jnp.ones((4, 3))
+    bad = -jnp.ones((4, 3))
+    metrics_path = str(tmp_path / "m.jsonl")
+    tr = Trainer(
+        loss_fn, optax.sgd(0.1), {"w": jnp.ones(3)},
+        monitor=True, donate=False, log_every=1, metrics_path=metrics_path,
+    )
+    w0 = np.asarray(tr.params["w"]).copy()
+    tr.fit(iter([bad, good]), 2, jax.random.PRNGKey(0))
+    # the non-finite step was SKIPPED on device, the good one applied
+    assert not np.array_equal(np.asarray(tr.params["w"]), w0)
+    lines = [json.loads(l) for l in open(metrics_path)]
+    assert any("grad_norm" in l for l in lines)
+    finite_flags = [l["grads_finite"] for l in lines if "grads_finite" in l]
+    assert 0.0 in finite_flags and 1.0 in finite_flags
