@@ -20,3 +20,4 @@ from msvit_tpu.parallel.sharding import (  # noqa: F401
     partition_spec_for_params,
     shard_params,
 )
+from msvit_tpu.parallel import distributed  # noqa: F401

@@ -200,3 +200,24 @@ def test_graft_entry_forward():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 197, 768)
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host glue degrades to identity on one process: host_shard is
+    (0,1), global_batch produces a mesh-sharded global array equal to the
+    local data, and initialize() is a no-op."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from msvit_tpu.parallel import make_mesh
+    from msvit_tpu.parallel import distributed as dist
+
+    dist.initialize()  # no-op single-process
+    assert dist.host_shard() == (0, 1)
+    assert dist.host_batch_size(32) == 32
+    mesh = make_mesh(tp=1)
+    local = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
+    g = dist.global_batch(mesh, local)
+    assert g["x"].shape == (8, 2)
+    assert len(g["x"].sharding.device_set) == 8  # sharded over the mesh
+    np.testing.assert_array_equal(np.asarray(g["x"]), local["x"])
