@@ -24,6 +24,12 @@ class SaccadicViTConfig(BaseViTConfig):
     # finite values give a proper density
     log_covariance_shift: float = 0.0
     beam_size: int = 64
+    # matcher decomposition: "chol" (Cholesky–Woodbury, all direct
+    # triangular ops — the TPU fast path) or "eigh" (Gram eigendecomposition,
+    # mirrors the reference's SVD route `modeling_predictor.py:128-146`).
+    # Mathematically identical up to a per-slot rotation of the factor
+    # basis that cancels in every consumer (see pattern.py docstring).
+    matcher_solver: str = "chol"
     refiner_implementation: str = "transformer"
     # refiner attention: "eager" (standard MHSA) or "quadratic"
     # (linear QKᵀ − ½‖dist(q)−dist(k)‖², reference

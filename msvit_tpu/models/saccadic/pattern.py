@@ -22,6 +22,17 @@ One deliberate deviation: top-k selection uses `lax.top_k` (sorted by
 score) while the reference enumerates `pdf >= kth-value` in row-major
 order (`:107-112`) — same selected set, different intra-beam order, and
 robust to ties.
+
+Decomposition: the default solver replaces the reference's per-covariance
+SVD (and this module's r2 Gram-eigh equivalent) with a Cholesky–Woodbury
+factorization of I + G (G the d×d Gram of the scaled factor) — see
+`gaussian_low_rank_log_pdf_chol`.  On TPU the batched d×d eigendecomposition
+is an iterative QDWH solve and dominated the matcher; Cholesky + one
+triangular solve are direct O(d³) ops.  The two routes agree exactly on
+log-pdfs, selections, and conditional means; their covariance factors
+differ by a per-slot rotation that no consumer can observe.
+`SaccadicViTConfig.matcher_solver` selects ("chol" default, "eigh" kept
+for the parity test).
 """
 
 from __future__ import annotations
@@ -85,6 +96,77 @@ def gaussian_low_rank_log_pdf(
     log_pdf = constant + determinant[..., None] + exponent
     v = jnp.swapaxes(vt, -1, -2)
     return log_pdf, norm_demean, log_l, v
+
+
+def gaussian_low_rank_log_pdf_chol(
+    search: jnp.ndarray,  # [B, M, D]
+    mean: jnp.ndarray,  # [B, W, R, D]
+    cov: jnp.ndarray,  # [B, W, R, D, d]
+    log_shift: jnp.ndarray,  # scalar
+):
+    """Cholesky–Woodbury route to the same density — the TPU fast path.
+
+    With Σ = σ·I + A Aᵀ, B = A/√σ, G = BᵀB and I + G = L Lᵀ (always SPD,
+    ≥ I, so the Cholesky never needs regularization):
+
+        log det Σ        = D·logσ + 2·Σᵢ log Lᵢᵢ
+        (x−μ)ᵀ Σ⁻¹ (x−μ) = ‖y‖² − ‖yᵀ B L⁻ᵀ‖²,   y = (x−μ)/√σ
+        conditioning adapter h = L⁻ᵀ  (h hᵀ = (I+G)⁻¹)
+
+    The eigh route's (norm_demean, h) pair differs from this one by a
+    right-rotation of the d-dim factor basis that cancels in every
+    consumer: log_pdf and the conditional mean are bit-comparable, the
+    conditional covariance factor A·h only ever enters through A h hᵀ Aᵀ
+    (next-iteration Gram, noise sampling), which is rotation-invariant.
+    Replaces the batched iterative QDWH eigensolver with one direct
+    Cholesky + triangular solve per (beam, slot) — all O(d³) direct ops.
+
+    Returns (log_pdf [B,W,R,M], norm_demean [B,W,R,M,d], h [B,W,R,d,d]).
+    """
+    d_model = search.shape[-1]
+    d = cov.shape[-1]
+    demean = (
+        search[:, None, None, :, :] - mean[..., None, :]
+    )  # [B, W, R, M, D]
+    inv_sqrt_shift = jnp.exp(-0.5 * log_shift)
+    scaled = demean * inv_sqrt_shift
+    bmat = cov * inv_sqrt_shift  # [B,W,R,D,d]
+    gram = jnp.einsum("...di,...dj->...ij", bmat, bmat)  # G = BᵀB
+    eye = jnp.eye(d, dtype=gram.dtype)
+    chol = jnp.linalg.cholesky(gram + eye)  # L: L Lᵀ = I + G
+    h = jax.lax.linalg.triangular_solve(
+        chol,
+        jnp.broadcast_to(eye, chol.shape),
+        left_side=True,
+        lower=True,
+        transpose_a=True,
+    )  # L⁻ᵀ
+    norm_demean = (scaled @ bmat) @ h  # yᵀ B L⁻ᵀ  [B,W,R,M,d]
+
+    constant = -0.5 * d_model * math.log(2.0 * math.pi)
+    logdet_i_g = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+    )  # [B,W,R]
+    determinant = -0.5 * (d_model * log_shift + logdet_i_g)
+    exponent = -0.5 * (
+        jnp.sum(scaled**2, axis=-1) - jnp.sum(norm_demean**2, axis=-1)
+    )
+    log_pdf = constant + determinant[..., None] + exponent
+    return log_pdf, norm_demean, h
+
+
+def _matcher_solve(search, mean, cov, log_shift, solver: str):
+    """Dispatch to a decomposition; both return (log_pdf, norm_demean, h)
+    with h the conditioning adapter satisfying h hᵀ = (I+G)⁻¹."""
+    if solver == "chol":
+        return gaussian_low_rank_log_pdf_chol(search, mean, cov, log_shift)
+    if solver == "eigh":
+        log_pdf, norm_demean, log_l, v = gaussian_low_rank_log_pdf(
+            search, mean, cov, log_shift
+        )
+        h = v * _datan_exp_h(log_l)[..., None, :]  # V·(1+λ)^{-1/2}
+        return log_pdf, norm_demean, h
+    raise ValueError(f"unknown matcher_solver {solver!r}")
 
 
 def _gather_beam(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -172,11 +254,12 @@ class SaccadicViTMultiStatePattern(nn.Module):
                 m = search.shape[1]
                 beam = min(cfg.beam_size, w * r * m)
 
-                log_pdf, norm_demean, log_l, vmat = gaussian_low_rank_log_pdf(
+                log_pdf, norm_demean, hmat = _matcher_solve(
                     search,
                     state["conditional_mean"],
                     state["conditional_covariance"],
                     log_shift,
+                    cfg.matcher_solver,
                 )
                 joint = state["joint_log_pdf"][:, :, None, None] + log_pdf
 
@@ -198,14 +281,12 @@ class SaccadicViTMultiStatePattern(nn.Module):
                 cov_g = _gather_beam(
                     full_b(state["conditional_covariance"]), w_idx
                 )
-                log_l_g = _gather_beam(full_b(log_l), w_idx)
-                v_g = _gather_beam(full_b(vmat), w_idx)
+                h_g = _gather_beam(full_b(hmat), w_idx)
                 nd_g = _gather_beam(full_b(norm_demean), w_idx)
                 joint_g = _gather_beam(full_b(joint), w_idx)
 
                 # selected-slot artifacts
-                log_l_sel = _gather_slot(log_l_g, r_idx)  # [B,beam,d]
-                v_sel = _gather_slot(v_g, r_idx)  # [B,beam,d,d]
+                h_sel = _gather_slot(h_g, r_idx)  # [B,beam,d,d]
                 nd_sel = _gather_slot(nd_g, r_idx)  # [B,beam,M,d]
                 nd_sel = jnp.take_along_axis(
                     nd_sel, m_idx[:, :, None, None], axis=2
@@ -241,8 +322,7 @@ class SaccadicViTMultiStatePattern(nn.Module):
                 cov_u = jnp.take_along_axis(
                     cov_g, unsel[..., None, None], axis=2
                 )
-                h = v_sel * _datan_exp_h(log_l_sel)[..., None, :]  # [B,beam,d,d]
-                cov_u = cov_u @ h[:, :, None]
+                cov_u = cov_u @ h_sel[:, :, None]
                 mean_u = mean_u + (cov_u @ nd_sel[:, :, None, :, None])[..., 0]
 
                 state = {

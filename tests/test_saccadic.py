@@ -224,3 +224,69 @@ def test_embeddings_glimpse():
         variables, out, method=SaccadicViTEmbeddings.decode_position
     )
     assert dec.shape == (2, cfg.dof)
+
+
+def test_chol_solver_matches_eigh():
+    """Cholesky–Woodbury matcher ≡ Gram-eigh matcher (pattern.py): same
+    log-pdfs, same beam selections, same conditional means; the conditional
+    covariance factors differ by a rotation, so they are compared through
+    their Gram — the only form any consumer sees."""
+    from msvit_tpu.models.saccadic.pattern import (
+        gaussian_low_rank_log_pdf_chol,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 5, 12)).astype(np.float32))
+    mean = jnp.asarray(rng.standard_normal((2, 3, 2, 12)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((2, 3, 2, 12, 4)).astype(np.float32))
+    shift = jnp.asarray(0.4)
+
+    pdf_e, _, log_l, v = gaussian_low_rank_log_pdf(x, mean, a, shift)
+    pdf_c, _, h = gaussian_low_rank_log_pdf_chol(x, mean, a, shift)
+    np.testing.assert_allclose(pdf_e, pdf_c, rtol=2e-4, atol=2e-4)
+    # h hᵀ must equal (I+G)⁻¹ in both parameterizations
+    from msvit_tpu.models.saccadic.pattern import _datan_exp_h
+
+    h_e = v * _datan_exp_h(log_l)[..., None, :]
+    np.testing.assert_allclose(
+        h_e @ jnp.swapaxes(h_e, -1, -2),
+        h @ jnp.swapaxes(h, -1, -2),
+        rtol=2e-4,
+        atol=2e-4,
+    )
+
+    cfg_e = _cfg(matcher_solver="eigh")
+    cfg_c = _cfg(matcher_solver="chol")
+    model_e = SaccadicViTMultiStatePattern(cfg_e)
+    model_c = SaccadicViTMultiStatePattern(cfg_c)
+    hs = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 16))
+    cs = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16))
+    variables = model_e.init(jax.random.PRNGKey(2), hs, cs, 1)
+    out_e = model_e.apply(variables, hs, cs, 1)
+    out_c = model_c.apply(variables, hs, cs, 1)
+    assert out_e.keys() == out_c.keys()
+    for key in out_e:
+        pe, pc = out_e[key], out_c[key]
+        np.testing.assert_array_equal(
+            pe["pattern_index"], pc["pattern_index"]
+        )
+        np.testing.assert_array_equal(
+            pe["node_indices"], pc["node_indices"]
+        )
+        np.testing.assert_allclose(
+            pe["joint_log_pdf"], pc["joint_log_pdf"], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            pe["conditional_mean"],
+            pc["conditional_mean"],
+            rtol=1e-3,
+            atol=1e-3,
+        )
+        cov_e = pe["conditional_covariance"]
+        cov_c = pc["conditional_covariance"]
+        np.testing.assert_allclose(
+            cov_e @ jnp.swapaxes(cov_e, -1, -2),
+            cov_c @ jnp.swapaxes(cov_c, -1, -2),
+            rtol=1e-3,
+            atol=1e-3,
+        )
