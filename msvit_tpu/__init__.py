@@ -17,6 +17,9 @@ Layout:
     msvit_tpu.data      dataset registry + image pipeline
     msvit_tpu.train     optimizers, losses, checkpointing
     msvit_tpu.compat    PyTorch/HF checkpoint import
+    msvit_tpu.serve     dynamic micro-batching inference server
+    msvit_tpu.export    AOT export (jax.export artifacts, AOT compile)
+    msvit_tpu.eval      jitted top-k accuracy / loss evaluation loop
     msvit_tpu.utils     math / pytree / misc helpers
 
 Unlike the reference (`/root/reference/infrastructure/settings.py:6-15`),
