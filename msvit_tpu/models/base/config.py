@@ -57,6 +57,22 @@ class BaseViTConfig:
     # (jax.checkpoint_policies.checkpoint_dots) — ~5% step cost instead
     # of ~15-30%; "dots_no_batch" = dots_with_no_batch_dims_saveable
     remat_policy: str = ""
+    # Trunk as ONE nn.scan'd layer instead of L unrolled blocks: the HLO
+    # contains a single layer body, so compile time and program size stop
+    # scaling with depth (measured: ViT-B train graph 7 s vs 21 s
+    # unrolled).  The tradeoff is real and measured: the while-loop
+    # serializes per-layer, defeating XLA's cross-layer software
+    # pipelining — steady-state train steps run 1.4-1.6x slower on v5e
+    # (RESULTS.md "Scanned trunk").  Use for dev iteration, very deep
+    # stacks, or memory-limited compiles; keep off (default) for
+    # production throughput.  Combine with remat=True for training (the
+    # scan otherwise stacks every layer's residuals).  Params live
+    # stacked under "layers"; convert to/from the unrolled "layer_{i}"
+    # layout (the HF-import format) with models/base/scan.py::
+    # {stack_layer_params, unstack_layer_params}.  Uniform-trunk only:
+    # no per-layer context states, MoE sow, or per-layer output
+    # collection.
+    scan_layers: bool = False
     # Megatron-SP-style sequence parallelism: constrain the token axis of
     # inter-block activations to the "model" mesh axis (GSPMD inserts the
     # all-gather/reduce-scatter pairs around attention/MLP).  Requires

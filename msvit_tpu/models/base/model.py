@@ -407,6 +407,37 @@ class BaseViTEncoder(nn.Module):
             except (ValueError, RuntimeError):
                 return x
 
+        if cfg.scan_layers:
+            # one scanned layer body: compile time/HLO size stop scaling
+            # with depth.  Uniform trunk only — the features that need a
+            # per-layer Python loop are rejected here, not silently wrong.
+            if context_states is not None:
+                raise ValueError("scan_layers: per-layer context_states "
+                                 "need the unrolled trunk")
+            if output_attentions or output_hidden_states:
+                raise ValueError("scan_layers: per-layer output collection "
+                                 "needs the unrolled trunk")
+            if cfg.num_experts > 0:
+                raise ValueError("scan_layers: MoE sows per-layer aux loss; "
+                                 "use the unrolled trunk")
+            scan_cls = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True, "droppath": True},
+                length=cfg.num_hidden_layers,
+                in_axes=(nn.broadcast,) * 4,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            hidden_states = constrain(hidden_states)
+            hidden_states, _ = scan_cls(cfg, name="layers")(
+                hidden_states,
+                None,
+                attention_mask,
+                deterministic,
+                False,
+            )
+            return hidden_states, None, None
+
         for i in range(cfg.num_hidden_layers):
             hidden_states = constrain(hidden_states)
             if output_hidden_states:

@@ -16,6 +16,7 @@ from msvit_tpu.parallel.pipeline_vit import (  # noqa: F401
     pipeline_params_from_full,
     shard_pipeline_params,
 )
+from msvit_tpu.parallel.ring_attention import ring_attention  # noqa: F401
 from msvit_tpu.parallel.sharding import (  # noqa: F401
     partition_spec_for_params,
     shard_params,
