@@ -6,6 +6,13 @@ from msvit_tpu.data.pipeline import (  # noqa: F401
     load_image_batches,
     preprocess_images,
 )
+from msvit_tpu.data.augment import (  # noqa: F401
+    cutmix,
+    mixup,
+    random_brightness_contrast,
+    random_erasing,
+    random_flip,
+)
 from msvit_tpu.data.resumable import (  # noqa: F401
     IndexSampler,
     ResumableLoader,

@@ -39,7 +39,13 @@ def restore_checkpoint(
 
 
 class CheckpointManager:
-    """Thin stateful wrapper for training loops: periodic save + resume."""
+    """Thin stateful wrapper for training loops: periodic save + resume.
+
+    Saves are **asynchronous** (orbax's default): `maybe_save` snapshots
+    the arrays and returns immediately while serialization runs in a
+    background thread — the train loop never blocks on IO.  `close()`
+    (or orbax's internal barrier before the next save) fences completion.
+    """
 
     def __init__(self, directory: str, save_every: int = 1000, max_to_keep: int = 3):
         self.directory = _path(directory)
