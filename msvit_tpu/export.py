@@ -43,11 +43,17 @@ import jax.numpy as jnp
 from jax import export as _jx
 
 
-def _abstractify(tree: Any) -> Any:
-    return jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-        tree,
-    )
+def _abstractify(tree: Any, batch_dim: Any = None) -> Any:
+    """Shapes/dtypes of a pytree; with `batch_dim` (a symbolic dimension)
+    every leaf's leading axis is replaced by it."""
+
+    def one(x):
+        shape = jnp.shape(x)
+        if batch_dim is not None and len(shape) > 0:
+            shape = (batch_dim,) + shape[1:]
+        return jax.ShapeDtypeStruct(shape, jnp.result_type(x))
+
+    return jax.tree.map(one, tree)
 
 
 def export_forward(
@@ -56,6 +62,7 @@ def export_forward(
     *,
     platforms: Optional[Sequence[str]] = None,
     bundle_params: bool = False,
+    polymorphic_batch: bool = False,
 ) -> bytes:
     """Serialize `jit(fn)(*example_args)` to a portable artifact.
 
@@ -63,18 +70,29 @@ def export_forward(
     fine) — unless `bundle_params=True`, in which case `example_args[0]`
     must be the concrete param pytree and is frozen into the artifact
     (the exported callable then takes the remaining args).
+
+    `polymorphic_batch=True` exports with a symbolic leading ("b") axis
+    on the data args (params keep concrete shapes): one artifact serves
+    every batch size — what `serve.BatchingServer`'s bucket ladder needs
+    — at the cost of compiling per concrete size at load site (exactly
+    the bucket-warmup model).
     """
+    bdim = (
+        _jx.symbolic_shape("b")[0] if polymorphic_batch else None
+    )
     if bundle_params:
         params = example_args[0]
         rest = example_args[1:]
         closed = lambda *a: fn(params, *a)  # noqa: E731
         exp = _jx.export(
             jax.jit(closed), platforms=tuple(platforms) if platforms else None
-        )(*_abstractify(rest))
+        )(*_abstractify(rest, bdim))
     else:
+        params_abs = _abstractify(example_args[0])
+        rest_abs = _abstractify(example_args[1:], bdim)
         exp = _jx.export(
             jax.jit(fn), platforms=tuple(platforms) if platforms else None
-        )(*_abstractify(example_args))
+        )(params_abs, *rest_abs)
     return bytes(exp.serialize())  # serialize() yields bytearray
 
 

@@ -84,6 +84,11 @@ class BaseViTSelfAttention(nn.Module):
             and not output_attentions
             and (attention_mask is None or attention_mask.ndim == 4)
             and x.ndim == 3
+            # Pallas kernels are shape-specialized: under a symbolic
+            # (shape-polymorphic jax.export) batch/token axis, route to
+            # the XLA path — the kernel's grid and CostEstimate need
+            # concrete ints
+            and all(isinstance(d, int) for d in x.shape)
             and _packed_available()
         )
         if use_packed:

@@ -92,9 +92,16 @@ def xla_attention(
 
 
 def _kernel_shapes_ok(q, k, mask, allow_float_mask: bool = False) -> bool:
-    """Pallas kernel constraints: 4D [B,H,N,D] inputs; bool mask (the fused
-    kernel additionally supports 4D additive float masks)."""
+    """Pallas kernel constraints: 4D [B,H,N,D] inputs with concrete
+    (non-symbolic) shapes; bool mask (the fused kernel additionally
+    supports 4D additive float masks)."""
     if q.ndim != 4 or k.ndim != 4:
+        return False
+    # shape-polymorphic export traces with symbolic dims — Pallas grids
+    # and cost estimates need concrete ints; dispatch falls back to XLA
+    if not all(
+        isinstance(d, int) for d in tuple(q.shape) + tuple(k.shape)
+    ):
         return False
     if mask is not None:
         if mask.ndim != 4:
@@ -149,7 +156,10 @@ def multi_head_attention(
         # softmax flash kernel takes over when the scores tile exceeds
         # VMEM (it beats XLA there too — benchmarks/RESULTS.md attention
         # table); XLA whenever probabilities are requested.
-        if output_probs or not _on_tpu() or k.shape[-2] < 512:
+        symbolic = not all(
+            isinstance(d, int) for d in tuple(q.shape) + tuple(k.shape)
+        )
+        if output_probs or not _on_tpu() or symbolic or k.shape[-2] < 512:
             implementation = "xla"
         elif _fused_eligible(q, k, mask) and _kernel_shapes_ok(
             q, k, mask, allow_float_mask=True

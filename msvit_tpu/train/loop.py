@@ -63,10 +63,19 @@ def train_step_fn(
     donate: bool = True,
     num_microbatches: int = 1,
     monitor: bool = False,
+    ema_decay: Optional[float] = None,
 ):
     """Build a jitted step: (params, opt_state, batch, rng) →
     (params, opt_state, loss, aux).  loss_fn(params, batch, rng) →
     (scalar, aux).
+
+    With `ema_decay` the step takes and returns one extra pytree — an
+    exponential moving average of the params (`ema·d + p·(1−d)` after the
+    update), fused into the same compiled program so tracking costs zero
+    extra dispatches: (params, opt_state, batch, rng, ema) →
+    (params, opt_state, loss, aux, ema).  The standard serving-weights
+    trick; Trainer(ema_decay=...) wires it end-to-end (checkpoint/resume
+    included).
 
     num_microbatches > 1 enables gradient accumulation: the batch's
     leading axis is split into that many microbatches and a single
@@ -79,7 +88,7 @@ def train_step_fn(
     def grad_once(params, batch, rng):
         return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
 
-    def step(params, opt_state, batch, rng):
+    def step(params, opt_state, batch, rng, ema=None):
         if num_microbatches > 1:
             m = num_microbatches
 
@@ -127,6 +136,16 @@ def train_step_fn(
             )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if ema_decay is not None:
+            d = ema_decay
+            ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p.astype(e.dtype),
+                ema,
+                params,
+            )
+            return params, opt_state, loss, aux, ema
         return params, opt_state, loss, aux
 
+    if ema_decay is not None:
+        return jax.jit(step, donate_argnums=(0, 1, 4) if donate else ())
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())

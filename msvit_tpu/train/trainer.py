@@ -32,6 +32,7 @@ class Trainer:
         num_microbatches: int = 1,
         monitor: bool = False,
         max_nonfinite: int = 10,
+        ema_decay: Optional[float] = None,
     ):
         if monitor:
             # production guard, all on device (no per-step host sync):
@@ -43,9 +44,20 @@ class Trainer:
         self.step_fn = train_step_fn(
             loss_fn, optimizer, donate=donate,
             num_microbatches=num_microbatches, monitor=monitor,
+            ema_decay=ema_decay,
         )
         self.params = params
         self.opt_state = optimizer.init(params)
+        # EMA serving weights (ema_decay): tracked inside the jitted step
+        # (zero extra dispatch), checkpointed/restored alongside params
+        self.ema_decay = ema_decay
+        # real copies: params are donated into the step, the EMA tree is
+        # donated separately — they must not alias
+        self.ema_params = (
+            jax.tree.map(lambda x: jnp.array(x), params)
+            if ema_decay
+            else None
+        )
         self.step = 0
         self.log_every = log_every
         self.ckpt = (
@@ -70,6 +82,8 @@ class Trainer:
                  "step": jnp.asarray(0)}
         if stateful:
             state["data"] = data_iter.state_dict()
+        if self.ema_params is not None:
+            state["ema"] = self.ema_params
         step, state = self.ckpt.restore_latest(state)
         if step:
             self.params = state["params"]
@@ -79,6 +93,8 @@ class Trainer:
                 data_iter.load_state_dict(
                     {k: int(v) for k, v in state["data"].items()}
                 )
+            if self.ema_params is not None:
+                self.ema_params = state["ema"]
         return self.step
 
     def fit(
@@ -96,9 +112,20 @@ class Trainer:
             if self.step >= num_steps:
                 break
             key = jax.random.fold_in(rng, self.step)
-            self.params, self.opt_state, loss_dev, aux = self.step_fn(
-                self.params, self.opt_state, batch, key
-            )
+            if self.ema_params is not None:
+                (
+                    self.params,
+                    self.opt_state,
+                    loss_dev,
+                    aux,
+                    self.ema_params,
+                ) = self.step_fn(
+                    self.params, self.opt_state, batch, key, self.ema_params
+                )
+            else:
+                self.params, self.opt_state, loss_dev, aux = self.step_fn(
+                    self.params, self.opt_state, batch, key
+                )
             self.step += 1
             if self.step % self.log_every == 0 or self.step == num_steps:
                 loss = float(loss_dev)
@@ -117,6 +144,8 @@ class Trainer:
                 }
                 if hasattr(batches, "state_dict"):
                     snapshot["data"] = batches.state_dict()
+                if self.ema_params is not None:
+                    snapshot["ema"] = self.ema_params
                 self.ckpt.maybe_save(self.step, snapshot)
         if self.ckpt:
             self.ckpt.close()

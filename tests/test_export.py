@@ -67,3 +67,21 @@ def test_aot_compile_and_cost_analysis():
     got = np.asarray(compiled(params, pix))
     np.testing.assert_array_equal(got, np.asarray(fwd(params, pix)))
     assert isinstance(cost, dict)
+
+
+def test_export_polymorphic_batch(tmp_path):
+    """One artifact, symbolic batch axis: serves any batch size and
+    matches the live model at each."""
+    fwd, params, pix = _tiny()
+    art = export_forward(fwd, (params, pix), polymorphic_batch=True)
+    g = load_forward(art)
+    for b in (1, 2, 5):
+        x = jnp.tile(pix[:1], (b, 1, 1, 1)) + jnp.arange(b).reshape(
+            b, 1, 1, 1
+        ) * 0.01
+        np.testing.assert_allclose(
+            np.asarray(g(params, x)),
+            np.asarray(fwd(params, x)),
+            rtol=1e-6,
+            atol=1e-6,
+        )

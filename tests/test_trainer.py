@@ -119,3 +119,53 @@ def test_monitor_skips_nonfinite_and_reports_grad_norm(tmp_path):
     assert any("grad_norm" in l for l in lines)
     finite_flags = [l["grads_finite"] for l in lines if "grads_finite" in l]
     assert 0.0 in finite_flags and 1.0 in finite_flags
+
+
+def test_trainer_ema_tracks_params(tmp_path):
+    """ema_decay: the fused EMA equals a hand-rolled EMA of the per-step
+    params, is checkpointed, and restores on resume."""
+    loss_fn, params, _ = _toy()
+    decay = 0.9
+
+    def batch_at(i):
+        return jax.random.normal(jax.random.PRNGKey(100 + i), (16, 3))
+
+    # reference run: plain trainer, EMA tracked by hand in python
+    tr_ref = Trainer(loss_fn, optax.adam(0.1), params, donate=False)
+    ema_ref = jax.tree.map(lambda x: jnp.array(x), params)
+    for i in range(5):
+        tr_ref.fit(iter([batch_at(i)]), num_steps=i + 1,
+                   rng=jax.random.PRNGKey(0))
+        ema_ref = jax.tree.map(
+            lambda e, p: decay * e + (1 - decay) * p, ema_ref, tr_ref.params
+        )
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    tr = Trainer(
+        loss_fn, optax.adam(0.1), params, donate=False,
+        ema_decay=decay, checkpoint_dir=ckpt_dir, save_every=5,
+    )
+    tr.fit(iter([batch_at(i) for i in range(5)]), num_steps=5,
+           rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(tr.ema_params["w"]), np.asarray(ema_ref["w"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr.params["w"]), np.asarray(tr_ref.params["w"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # EMA lags the raw params (decay < 1, params still moving)
+    assert not np.allclose(
+        np.asarray(tr.ema_params["w"]), np.asarray(tr.params["w"])
+    )
+
+    # resume restores the EMA tree
+    tr2 = Trainer(
+        loss_fn, optax.adam(0.1), params, donate=False,
+        ema_decay=decay, checkpoint_dir=ckpt_dir,
+    )
+    assert tr2.restore() == 5
+    np.testing.assert_allclose(
+        np.asarray(tr2.ema_params["w"]), np.asarray(tr.ema_params["w"])
+    )
