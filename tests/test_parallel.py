@@ -221,3 +221,79 @@ def test_distributed_helpers_single_process():
     assert g["x"].shape == (8, 2)
     assert len(g["x"].sharding.device_set) == 8  # sharded over the mesh
     np.testing.assert_array_equal(np.asarray(g["x"]), local["x"])
+
+
+def test_fsdp_train_step_matches_and_shards_params():
+    """FSDP (ZeRO-3: params sharded over "data") must produce the same
+    updated params as the non-FSDP sharded step, with the big param
+    leaves actually data-sharded (so grads and opt state inherit it)
+    and the per-device shard strictly smaller than the logical array.
+
+    The equivalence comparison uses SGD: FSDP's reduce-scatter sums
+    gradients in a different order than the baseline's all-reduce, and
+    adamw's m̂/(√v̂+ε) amplifies that f32 dust by ~lr/ε on near-zero-grad
+    params (observed 1.9e-4 after two steps) — SGD keeps the comparison
+    conditioning-free.  adamw is then exercised separately for state
+    sharding + finiteness."""
+    model = _tiny_model()
+    rng = jax.random.PRNGKey(0)
+    pix = jax.random.normal(rng, (8, 32, 32, 3), dtype=jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (8,), 0, 10)
+    params = model.init({"params": rng}, pix[:1])
+
+    def loss_fn(p, batch, _rng):
+        logits = model.apply(p, batch[0])
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch[1]
+        ).mean(), {}
+
+    mesh = make_mesh(tp=2)  # dp=4, tp=2
+    opt = optax.sgd(0.1)
+
+    step0, p_ref, o_ref, bs0 = make_sharded_train_step(
+        loss_fn, opt, mesh, params, donate=False
+    )
+    batch0 = jax.device_put((pix, labels), bs0)
+    for _ in range(2):
+        p_ref, o_ref, _, _ = step0(p_ref, o_ref, batch0, rng)
+
+    step, p_sh, o_sh, batch_shard = make_sharded_train_step(
+        loss_fn, opt, mesh, params, donate=False, fsdp=True
+    )
+
+    def _axes(spec):
+        out = []
+        for e in spec:
+            if isinstance(e, (tuple, list)):
+                out.extend(e)
+            elif e is not None:
+                out.append(e)
+        return out
+
+    qkv = p_sh["params"]["vit"]["encoder"]["layer_0"]["attention"][
+        "qkv_kernel"
+    ]
+    assert "data" in _axes(qkv.sharding.spec), "qkv kernel not fsdp-sharded"
+    assert "model" in _axes(qkv.sharding.spec), "TP sharding lost under fsdp"
+    # local shard strictly smaller than the logical array
+    assert qkv.addressable_shards[0].data.size < qkv.size
+
+    batch = jax.device_put((pix, labels), batch_shard)
+    for _ in range(2):
+        p_sh, o_sh, loss, _ = step(p_sh, o_sh, batch, rng)
+    for a, b in zip(jax.tree.leaves(p_sh), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # adamw under fsdp: m/v inherit the param sharding; one step runs
+    adam = optax.adamw(1e-2)
+    astep, ap, ao, abs_ = make_sharded_train_step(
+        loss_fn, adam, mesh, params, donate=False, fsdp=True
+    )
+    m_qkv = None
+    for leaf in jax.tree.leaves(ao):
+        if hasattr(leaf, "shape") and leaf.shape == qkv.shape:
+            m_qkv = leaf
+            break
+    assert m_qkv is not None and "data" in _axes(m_qkv.sharding.spec)
+    ap, ao, aloss, _ = astep(ap, ao, jax.device_put((pix, labels), abs_), rng)
+    assert np.isfinite(float(aloss))
