@@ -20,6 +20,7 @@ Layout:
     msvit_tpu.serve     dynamic micro-batching inference server
     msvit_tpu.export    AOT export (jax.export artifacts, AOT compile)
     msvit_tpu.eval      jitted top-k accuracy / loss evaluation loop
+    msvit_tpu.zoo       named configs (trunk scales + reference sandbox setups)
     msvit_tpu.utils     math / pytree / misc helpers
 
 Unlike the reference (`/root/reference/infrastructure/settings.py:6-15`),

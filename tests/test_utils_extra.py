@@ -153,3 +153,38 @@ def test_predictive_visualizer_smoke(tmp_path):
     import os
 
     assert os.path.getsize(path) > 0
+
+
+def test_zoo_configs_build_and_override():
+    """Every zoo entry builds; overrides replace fields; unknown names
+    and fields fail loudly; trunk geometries match the published scales."""
+    import dataclasses
+
+    import pytest
+
+    from msvit_tpu.zoo import build_config, zoo_names
+
+    for name in zoo_names():
+        cfg = build_config(name)
+        assert dataclasses.is_dataclass(cfg)
+        assert cfg.hidden_size % cfg.num_attention_heads == 0
+
+    b = build_config("vit-b16")
+    assert (b.hidden_size, b.num_hidden_layers, b.patch_size) == (768, 12, 16)
+    l = build_config("vit-l16")
+    assert (l.hidden_size, l.num_hidden_layers) == (1024, 24)
+    g = build_config("dinov2-vitg14")
+    assert g.use_swiglu_ffn and g.layerscale_value == 1e-5
+    assert build_config("dino-vitb8").patch_size == 8
+    ms = build_config("multistate-sandbox")
+    assert ms.patch_size == 8 and ms.max_clusters == 16
+    sac = build_config("saccadic-reference")
+    assert dict(sac.num_patterns) == {1: 1024, 2: 1024}
+    assert sac.beam_size == 64 and sac.covariance_dim == 64
+
+    r = build_config("vit-b16", remat=True)
+    assert r.remat and not b.remat
+    with pytest.raises(KeyError):
+        build_config("vit-xxl")
+    with pytest.raises(TypeError):
+        build_config("vit-b16", not_a_field=1)
