@@ -128,8 +128,11 @@ def main():
     )
     raw = evaluate(logits_fn, trainer.params, test(), topk=(1,))
     print(f"test top-1 (raw params): {raw['top1_acc']:.4f}  (n={raw['n']:.0f})")
-    ema = evaluate(logits_fn, trainer.ema_params, test(), topk=(1,))
-    print(f"test top-1 (EMA params): {ema['top1_acc']:.4f}")
+    if trainer.ema_params is not None:
+        ema = evaluate(logits_fn, trainer.ema_params, test(), topk=(1,))
+        print(f"test top-1 (EMA params): {ema['top1_acc']:.4f}")
+    else:
+        ema = raw  # --ema 0: no EMA tree is tracked
 
     if args.skip_int8:
         return
@@ -141,7 +144,9 @@ def main():
         quantized_vit_apply,
     )
 
-    serve_params = trainer.ema_params if args.ema else trainer.params
+    serve_params = (
+        trainer.ema_params if trainer.ema_params is not None else trainer.params
+    )
     qtrunk = quantize_vit_params(serve_params["vit"])
     calib = jnp.asarray(data["train_images"][:256])
     scales = jax.jit(lambda q, x: calibrate_act_scales(q, cfg, x))(

@@ -81,21 +81,20 @@ def iter_epochs(
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Shuffled-epoch batch stream of (images [B,...], labels [B]) —
     static batch shape (the ragged epoch tail is dropped), fresh
-    permutation per epoch, endless unless `max_steps` is given.  Feeds
-    `Trainer.fit` directly."""
-    n = len(images)
-    if n < batch_size:
-        raise ValueError(f"batch_size {batch_size} exceeds dataset size {n}")
-    rng = np.random.default_rng(seed)
-    step = 0
-    while True:
-        perm = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            if max_steps is not None and step >= max_steps:
-                return
-            sel = perm[i : i + batch_size]
-            yield images[sel], labels[sel]
-            step += 1
+    deterministic permutation per epoch, endless unless `max_steps` is
+    given.  Feeds `Trainer.fit` directly.
+
+    Backed by `data.resumable.IndexSampler` (one shuffle implementation
+    in the repo); for checkpointable mid-epoch resume, hand Trainer a
+    `ResumableLoader(IndexSampler(len(images), batch_size, seed=seed),
+    fetch_fn)` instead of this plain generator."""
+    from msvit_tpu.data.resumable import IndexSampler
+
+    sampler = IndexSampler(len(images), batch_size, seed=seed)
+    for step, idx in enumerate(sampler):
+        if max_steps is not None and step >= max_steps:
+            return
+        yield images[idx], labels[idx]
 
 
 def eval_batches(

@@ -95,10 +95,17 @@ class BatchingServer:
         return fut
 
     def warmup(self) -> None:
-        """Compile every bucket before serving traffic."""
+        """Compile every bucket before serving traffic.
+
+        The fence is a real output fetch, not `block_until_ready`: on the
+        tunneled backend block_until_ready returns while compile/load work
+        is still in flight (CLAUDE.md), which silently shifted ~70 s of
+        warmup into the FIRST request's latency (measured; the first
+        post-warmup device_get absorbed it).  device_get of the (small)
+        output is an honest end-to-end fence on every backend."""
         for b in self.buckets:
             x = np.zeros((b,) + self.example_shape, self.example_dtype)
-            jax.block_until_ready(self.apply_fn(x))
+            jax.device_get(self.apply_fn(x))
 
     def stats(self) -> dict:
         with self._lock:
