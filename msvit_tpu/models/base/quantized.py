@@ -35,6 +35,53 @@ from msvit_tpu.ops.quant import (
 )
 
 
+def _fold_ls(w: QuantizedTensor, bias, ls) -> Dict[str, Any]:
+    # DINOv2 layer scale is a per-channel multiply on the residual
+    # branch output — exactly the shape of the dequant scale, so it
+    # folds into the epilogue for free:
+    #   (acc*s + b) * ls == acc*(s*ls) + b*ls
+    ls = jnp.asarray(ls, jnp.float32)
+    return {
+        "w": QuantizedTensor(w.values, w.scale * ls[None, :]),
+        "bias": bias.astype(jnp.float32) * ls,
+    }
+
+
+def quantize_layer_params(layer: Dict[str, Any]) -> Dict[str, Any]:
+    """One BaseViTLayer param subtree → quantized inference dict (qkv /
+    proj / fc1 / fc2 int8 per-channel, layer scales folded into the
+    proj/fc2 dequant scales, norms passthrough).  Shared by the ViT and
+    multistate quantizers."""
+    attn = layer["attention"]
+    d = attn["qkv_kernel"].shape[0]
+    return {
+        "qkv": {
+            "w": quantize_weight(
+                jnp.asarray(attn["qkv_kernel"]).reshape(d, -1)
+            ),
+            "bias": jnp.asarray(attn["qkv_bias"]).reshape(-1)
+            if "qkv_bias" in attn
+            else None,
+        },
+        "proj": _fold_ls(
+            quantize_weight(jnp.asarray(attn["output_dense"]["kernel"])),
+            jnp.asarray(attn["output_dense"]["bias"]),
+            layer["layer_scale1"],
+        ),
+        "fc1": {
+            "w": quantize_weight(jnp.asarray(layer["mlp"]["fc1"]["kernel"])),
+            "bias": jnp.asarray(layer["mlp"]["fc1"]["bias"]),
+        },
+        "fc2": _fold_ls(
+            quantize_weight(jnp.asarray(layer["mlp"]["fc2"]["kernel"])),
+            jnp.asarray(layer["mlp"]["fc2"]["bias"]),
+            layer["layer_scale2"],
+        ),
+        "norm1": layer["norm1"],
+        "norm2": layer["norm2"],
+    }
+
+
 def quantize_vit_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """ViTModel param pytree → quantized inference pytree (kernels int8 +
     per-channel scales; everything else f32 passthrough)."""
@@ -44,47 +91,8 @@ def quantize_vit_params(params: Dict[str, Any]) -> Dict[str, Any]:
         "w": quantize_weight(jnp.asarray(params["embeddings"]["patch_projection"]["kernel"])),
         "bias": jnp.asarray(params["embeddings"]["patch_projection"]["bias"]),
     }
-    def _fold_ls(w: QuantizedTensor, bias, ls) -> Dict[str, Any]:
-        # DINOv2 layer scale is a per-channel multiply on the residual
-        # branch output — exactly the shape of the dequant scale, so it
-        # folds into the epilogue for free:
-        #   (acc*s + b) * ls == acc*(s*ls) + b*ls
-        ls = jnp.asarray(ls, jnp.float32)
-        return {
-            "w": QuantizedTensor(w.values, w.scale * ls[None, :]),
-            "bias": bias.astype(jnp.float32) * ls,
-        }
-
     for name, layer in params["encoder"].items():
-        attn = layer["attention"]
-        d = attn["qkv_kernel"].shape[0]
-        ql: Dict[str, Any] = {
-            "qkv": {
-                "w": quantize_weight(
-                    jnp.asarray(attn["qkv_kernel"]).reshape(d, -1)
-                ),
-                "bias": jnp.asarray(attn["qkv_bias"]).reshape(-1)
-                if "qkv_bias" in attn
-                else None,
-            },
-            "proj": _fold_ls(
-                quantize_weight(jnp.asarray(attn["output_dense"]["kernel"])),
-                jnp.asarray(attn["output_dense"]["bias"]),
-                layer["layer_scale1"],
-            ),
-            "fc1": {
-                "w": quantize_weight(jnp.asarray(layer["mlp"]["fc1"]["kernel"])),
-                "bias": jnp.asarray(layer["mlp"]["fc1"]["bias"]),
-            },
-            "fc2": _fold_ls(
-                quantize_weight(jnp.asarray(layer["mlp"]["fc2"]["kernel"])),
-                jnp.asarray(layer["mlp"]["fc2"]["bias"]),
-                layer["layer_scale2"],
-            ),
-            "norm1": layer["norm1"],
-            "norm2": layer["norm2"],
-        }
-        q["encoder"][name] = ql
+        q["encoder"][name] = quantize_layer_params(layer)
     q["layernorm"] = params["layernorm"]
     return q
 

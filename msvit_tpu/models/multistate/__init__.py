@@ -11,3 +11,8 @@ from msvit_tpu.models.multistate.model import (  # noqa: F401
     build_multistate_attention_mask,
     compress_tokens_with_cluster_indices,
 )
+from msvit_tpu.models.multistate.quantized import (  # noqa: F401
+    calibrate_multistate_act_scales,
+    quantize_multistate_params,
+    quantized_multistate_apply,
+)

@@ -913,6 +913,222 @@ def packed_attention_int8(
     )(qkv_q, sc)
 
 
+_LN127 = 4.8441870864585885  # log(127): exp(s - mx + _LN127) = 127·p
+
+
+def _kernel_int8_grouped(qkv_ref, sc_ref, mask_ref, o_ref, *,
+                         head_group, dh, scale, mask_value):
+    """Head-grouped int8 attention with mask support (one image ×
+    `head_group` heads per program) — the int8 serving kernel for the
+    mid/long masked regime (multistate's 816-token soft-masked trunk
+    layers; the all-heads `_kernel_int8` stacks every head's [N,N] f32
+    scores and has no mask input).  Runs in a raised 64MB VMEM scope so
+    Mosaic fuses the [N,N] elementwise chain instead of serializing it
+    through a scratch (the scratch variant cost 9.5 vs bf16's 6.4
+    ms/layer-equiv at N=816 — proto_msint8_parts.py).  VPU passes over
+    the scores are the budget; unlike the bf16 inference kernel the row
+    max CANNOT be shaved: `(127·p).astype(int8)` truncates, so probs
+    must peak at exactly 1 per row for the quantization grid to carry
+    any information.  The exp emits pre-scaled 127·p directly (one
+    transcendental pass, no separate multiply), and the row sum rides
+    the MXU as a second pq·ones dot (see inline comment — Mosaic
+    rejects the int8 ones-column concat)."""
+    f32 = jnp.float32
+    s_q = sc_ref[0, 0]
+    s_k = sc_ref[0, 1]
+    s_v = sc_ref[0, 2]
+    inv_s_out = sc_ref[0, 3]
+    int8_out = o_ref.dtype == jnp.int8
+    x = qkv_ref[0]  # [N, 3, gw] int8
+    outs = []
+    for h in range(head_group):
+        q = x[:, 0, h * dh : (h + 1) * dh]
+        k = x[:, 1, h * dh : (h + 1) * dh]
+        v = x[:, 2, h * dh : (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(f32) * (scale * s_q * s_k)
+        if mask_ref is not None:
+            m = mask_ref[0, h if mask_ref.shape[1] > 1 else 0]
+            if m.dtype == jnp.bool_:
+                s = jnp.where(m, s, mask_value)
+            else:
+                s = s + m.astype(f32)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        pq = jnp.exp(s - mx + _LN127).astype(jnp.int8)  # 127·p, truncating
+        o1 = jax.lax.dot_general(
+            pq, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(f32)
+        # Row sum Σpq as a second MXU dot against an int8 ones [N, 1]
+        # (dh pads to the 128-lane tile either way; Mosaic rejects an
+        # int8 [N,dh]++[N,1] concat — "offset mismatch on non-concat
+        # dimension" at N=816 on real hardware).  Normalizing by Σpq
+        # (the QUANTIZED probs' sum) also cancels the truncation bias
+        # that dividing by the f32 Σp would leave in.
+        ones = jnp.ones((v.shape[0], 1), jnp.int8)
+        l = jax.lax.dot_general(
+            pq, ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(f32)
+        l = jnp.maximum(l, 1.0)  # Σpq ≥ 127 (row max)
+        o = o1 * (s_v / l)
+        if int8_out:
+            outs.append(
+                jnp.clip(jnp.round(o * inv_s_out), -127, 127).astype(jnp.int8)
+            )
+        else:
+            outs.append(o.astype(jnp.bfloat16))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+# The kernel asks Mosaic for a raised VMEM scope (v5e has 128 MiB
+# physical; the 16 MiB default scope rejected bs32 @ N=816 by 856 KiB).
+# The gate admits up to 3/4 of it so the measured ~1.3x gap between this
+# panel accounting and Mosaic's real stack allocation stays covered.
+_INT8_GROUPED_VMEM_BYTES = 64 * 1024 * 1024
+
+
+def int8_grouped_vmem_ok(
+    n: int, d: int, num_heads: int, has_mask: bool = True,
+    head_group: int = 2,
+    limit: int = _INT8_GROUPED_VMEM_BYTES * 3 // 4,
+) -> bool:
+    """VMEM fit for the head-grouped int8 kernel: one head's fused
+    elementwise chain holds a few [N,N] panels live (scores f32 + the
+    int32 dot result + temps + pq int8), plus a bf16 mask panel and
+    double-buffered int8 lane-group operands."""
+    if (head_group * (d // num_heads)) % 128:
+        return False
+    if num_heads % head_group:
+        return False
+
+    def pad(x, m):
+        return -(-x // m) * m
+
+    panel = pad(n, 8) * pad(n, 128)
+    panels = panel * (4 + 4 + 4 + 4 + 1)  # s_scr + p + i32 acc + tmp + pq
+    gw = head_group * (d // num_heads)
+    io = 2 * (n * 3 * gw + n * gw)  # int8 in / ≤bf16 out, double-buffered
+    m_bytes = 2 * panel * 2 if has_mask else 0
+    return panels + io + m_bytes <= limit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "int8_out", "head_group",
+                     "mask_value"),
+)
+def _packed_int8_grouped(qkv_q, sc, mask, num_heads, scale, int8_out,
+                         head_group=2,
+                         mask_value=DEFAULT_MASK_VALUE):
+    b, n, d3 = qkv_q.shape
+    d = d3 // 3
+    dh = d // num_heads
+    hg = head_group
+    gw = hg * dh
+    qkv4 = qkv_q.reshape(b, n, 3, d)
+    operands = [qkv4, sc]
+    in_specs = [
+        pl.BlockSpec((1, n, 3, gw), lambda i, g: (i, 0, 0, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda i, g: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    has_mask = mask is not None
+    if has_mask:
+        hm = mask.shape[1]
+        # float masks ride bf16 (the model's additive masks are 0/−1e2,
+        # bf16-exact) — halves the dominant HBM operand at long N
+        mdtype = jnp.bool_ if mask.dtype == jnp.bool_ else jnp.bfloat16
+        mb = jnp.broadcast_to(mask.astype(mdtype), (b, hm, n, n))
+        if hm == 1:
+            mspec = pl.BlockSpec((1, 1, n, n), lambda i, g: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        else:
+            mspec = pl.BlockSpec((1, hg, n, n), lambda i, g: (i, g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs.append(mspec)
+        operands.append(mb)
+
+    def kernel(*refs):
+        qr, scr_ = refs[:2]
+        mr = refs[2] if has_mask else None
+        o_r = refs[3] if has_mask else refs[2]
+        _kernel_int8_grouped(qr, scr_, mr, o_r, head_group=hg,
+                             dh=dh, scale=scale, mask_value=mask_value)
+
+    out_dtype = jnp.int8 if int8_out else jnp.bfloat16
+    return pl.pallas_call(
+        kernel,
+        grid=(b, num_heads // hg),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, gw), lambda i, g: (i, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_INT8_GROUPED_VMEM_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * dh,
+            bytes_accessed=qkv_q.size + b * n * d,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(*operands)
+
+
+def packed_attention_int8_masked(
+    qkv_q: jnp.ndarray,  # [B, N, 3D] int8
+    section_scales: jnp.ndarray,  # [3] f32 dequant scales for q|k|v
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,  # [B, 1|H, N, N] bool or additive
+    out_inv_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    int8_out: bool = False,
+    mask_value: float = DEFAULT_MASK_VALUE,
+):
+    """Fully-int8 packed self-attention with mask support — the serving
+    kernel for masked trunks (the multistate encoder's soft cluster
+    masks, reference `modeling_msvitencoder.py:146`).  Head-grouped grid
+    (B, H/2) in a raised VMEM scope, so it also covers the mid/long
+    regime where the all-heads `packed_attention_int8` overflows VMEM.
+    Inference-only (no VJP).
+
+    Know its cost model before choosing it over the bf16 packed kernel:
+    the [N,N] VPU passes dominate at long N and the row max is
+    irreducible here (prob quantization needs per-row peak 1), so this
+    kernel's best case ≈ the bf16 shaved kernel + one reduction pass —
+    it wins only where the int8 HBM savings (qkv + mask at half width)
+    or the int8 pv dot matter (see benchmarks/proto_msint8_parts.py and
+    RESULTS.md)."""
+    b, n, d3 = qkv_q.shape
+    d = d3 // 3
+    if d % num_heads:
+        raise ValueError(f"D {d} not divisible by num_heads {num_heads}")
+    if scale is None:
+        scale = 1.0 / (d // num_heads) ** 0.5
+    if mask is not None and mask.ndim != 4:
+        raise ValueError(f"mask must be [B, 1|H, N, N]; got {mask.shape}")
+    if not int8_grouped_vmem_ok(n, d, num_heads, has_mask=mask is not None):
+        raise ValueError(
+            f"int8 grouped kernel does not fit VMEM at N={n}, D={d}; "
+            "dequantize and use fused/flash attention instead"
+        )
+    inv = (
+        jnp.zeros((), jnp.float32)
+        if out_inv_scale is None
+        else jnp.asarray(out_inv_scale, jnp.float32)
+    )
+    sc = jnp.concatenate(
+        [jnp.asarray(section_scales, jnp.float32).reshape(3), inv.reshape(1)]
+    ).reshape(1, 4)
+    return _packed_int8_grouped(
+        qkv_q, sc, mask, num_heads, float(scale), int8_out,
+        mask_value=float(mask_value),
+    )
+
+
 def packed_vmem_ok(
     n: int, d: int, num_heads: int, elem_bytes: int = 2,
     has_mask: bool = False, limit: int = 14 * 1024 * 1024,
