@@ -15,6 +15,10 @@
                 HDBSCAN in HDBNCUT / `visualize`,
                 `modeling_spectral.py:24-39,96-130`): device MR-graph MST,
                 host condensed-tree extraction.
+* tsne        — exact on-device t-SNE (replaces sklearn TSNE in the
+                spectral debug paths, `modeling_spectral.py:291-292`):
+                matmul distances, lock-step perplexity bisection,
+                lax.scan KL descent.
 """
 
 from msvit_tpu.ops.attention import multi_head_attention  # noqa: F401

@@ -1,5 +1,6 @@
 """Host-side visualization (matplotlib) — qualitative inspection tools,
-out of the accelerated path (SURVEY §2.9: t-SNE/matplotlib stay host-side).
+out of the accelerated path (SURVEY §2.9; rendering stays host-side, but
+the t-SNE embedding itself runs on device via `ops/tsne.py`).
 
 * ``visualize_subsample_output`` — nested quadtree rendering: sampled
   patches drawn in their boxes + sigmoid subdivision-decision heat map per
@@ -9,6 +10,9 @@ out of the accelerated path (SURVEY §2.9: t-SNE/matplotlib stay host-side).
   `modeling_spvitencoder.py:524-634`).
 * ``color`` / ``confidence_ellipse`` — plotting helpers (reference
   `infrastructure/utils.py:510-558`).
+* ``visualize_tsne_clusters`` — the spectral-debug t-SNE scatter
+  (reference `modeling_spectral.py:289-301`); embedding computed on
+  device (`ops/tsne.py`), only the scatter is host matplotlib.
 
 matplotlib imports are deferred so the compute path never depends on it.
 """
@@ -199,6 +203,45 @@ def visualize_predictive_sample(
                 pxs = [pg[0, 0, 1], pg[0, 1, 1], pg[1, 1, 1], pg[1, 0, 1], pg[0, 0, 1]]
                 ax.plot(pxs, pys, color="purple", linestyle="--", linewidth=1.5)
         ax.set_title(f"Image {i}")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return fig
+
+
+def visualize_tsne_clusters(
+    features: np.ndarray,  # [n, d] e.g. NCut eigenvectors
+    labels: Optional[np.ndarray] = None,  # [n] cluster ids for coloring
+    dim: int = 2,
+    perplexity: float = 30.0,
+    show: bool = True,
+    save_path: Optional[str] = None,
+):
+    """t-SNE scatter of clustering features, colored by cluster id —
+    the reference's spectral-debug inspection plot
+    (`modeling_spectral.py:289-301`), with the embedding itself computed
+    on device by `ops.tsne` (exact t-SNE; sklearn only rendered here)."""
+    from matplotlib import pyplot as plt
+
+    from msvit_tpu.ops.tsne import tsne
+
+    y, _ = tsne(np.asarray(features, np.float32), dim=dim, perplexity=perplexity)
+    y = np.asarray(y)
+    if labels is None:
+        cs = None
+    else:
+        cs = np.stack([color(float(l)) for l in np.asarray(labels)])
+    fig = plt.figure(figsize=(5.0, 5.0))
+    if dim == 3:
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(y[:, 0], y[:, 1], y[:, 2], c=cs, s=8)
+    else:
+        ax = fig.add_subplot()
+        ax.set_aspect("equal")
+        ax.scatter(y[:, 0], y[:, 1], c=cs, s=8)
+    ax.set_title("t-SNE of clustering features")
     if save_path:
         fig.savefig(save_path, bbox_inches="tight")
     if show:
