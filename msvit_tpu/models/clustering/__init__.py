@@ -24,4 +24,5 @@ from msvit_tpu.models.clustering.module import (  # noqa: F401
     cluster,
     fps_cluster,
     spectral_cluster,
+    spectral_debug_labels,
 )

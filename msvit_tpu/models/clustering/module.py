@@ -382,3 +382,85 @@ def cluster(
     """Dispatch by config.model_type (reference `CLUSTERING_CLASSES`,
     `clustering/__init__.py:7-10`)."""
     return CLUSTERING_CLASSES[config.model_type](config, parent_indices, x, key)
+
+
+def spectral_debug_labels(
+    ncut_x: jnp.ndarray,  # [n, ncut_dim] NCut eigenvectors (pooled batch)
+    key: jax.Array,
+    cluster_size_threshold: float = 0.02,
+    min_samples: int = 512,
+    num_sample: int = 1024,
+    kmeans_iters: int = 16,
+):
+    """The reference's `visualize` debug labellings
+    (`modeling_spectral.py:98-145`): from the (batch-pooled) NCut
+    eigenvectors, produce every label row that debug figure draws —
+
+    * ``hdbscan``             — HDBSCAN on the iterative (cosine) NCut of
+      the row-normalized eigenvectors; noise is −1.
+    * ``km_boosted_spectral`` — nearest HDBSCAN-centroid assignment.
+    * ``km_spectral``         — KMeans seeded with those centroids.
+    * ``aa_boosted_spectral`` — Yu–Shi rotation fit on *clustered* rows,
+      applied to all (`spectral_x @ R`).
+    * ``aa_spectral``         — plain `kway_ncut` one-hot argmax.
+
+    Host-side debug helper (the HDBSCAN tree extraction is host code),
+    exactly like upstream — nothing in the production forward calls it.
+    Returns an ``OrderedDict[str, np.ndarray[n]]``; only ``hdbscan`` is
+    present when HDBSCAN finds no clusters (upstream returns early too).
+    """
+    from collections import OrderedDict
+
+    import numpy as np
+
+    from msvit_tpu.ops.hdbscan import hdbscan
+    from msvit_tpu.ops.ncut import kway_ncut
+
+    n, k_dim = ncut_x.shape
+    normalized = ncut_x / (
+        jnp.linalg.norm(ncut_x, axis=-1, keepdims=True) + 1e-8
+    )
+    k1, k2 = jax.random.split(key)
+    spectral_x, _ = ncut(
+        normalized,
+        num_eig=k_dim,
+        key=k1,
+        num_sample=min(num_sample, n),
+        distance="cosine",
+        gamma=3.0,
+    )
+    res = hdbscan(
+        spectral_x,
+        min_cluster_size=max(int(cluster_size_threshold * n), 2),
+        min_samples=min(min_samples, n),
+    )
+    labels = np.asarray(res.labels)
+    out = OrderedDict(hdbscan=labels)
+    n_child = int(labels.max()) + 1
+    if n_child == 0:
+        return out
+
+    sx = np.asarray(spectral_x, np.float32)[:, :n_child]
+    centers = np.stack(
+        [sx[labels == c].mean(axis=0) for c in range(n_child)]
+    )
+    d2 = ((sx[:, None] - centers[None]) ** 2).sum(-1)  # [n, n_child]
+    out["km_boosted_spectral"] = d2.argmin(axis=1)
+    km_labels, _ = kmeans(
+        jnp.asarray(sx),
+        k=n_child,
+        key=k2,
+        iters=kmeans_iters,
+        init_centers=jnp.asarray(centers),
+    )
+    out["km_spectral"] = np.asarray(km_labels)
+
+    clustered = labels >= 0
+    fit_rows = sx[clustered] if clustered.sum() >= n_child else sx
+    _, rt = kway_ncut(jnp.asarray(fit_rows))
+    out["aa_boosted_spectral"] = np.asarray(
+        jnp.argmax(jnp.asarray(sx) @ rt, axis=1)
+    )
+    onehot, _ = kway_ncut(jnp.asarray(sx))
+    out["aa_spectral"] = np.asarray(jnp.argmax(onehot, axis=1))
+    return out

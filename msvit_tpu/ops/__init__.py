@@ -7,7 +7,8 @@
                 (replaces `F.grid_sample`, reference
                 `modeling_spvitencoder.py:286-289` et al.).
 * ncut        — batched Nyström normalized-cuts embedding
-                (replaces `ncut_pytorch.NCUT`).
+                (replaces `ncut_pytorch.NCUT`); `kway_ncut` Yu–Shi
+                discretization (replaces `ncut_pytorch.kway_ncut`).
 * kmeans      — fixed-iteration segment-sum KMeans (replaces cuML KMeans).
 * fps         — farthest point sampling (replaces the reference's missing
                 `utils.fps` / torch_fpsample).

@@ -30,9 +30,15 @@ def kmeans(
     iters: int = 16,
     active: Optional[jnp.ndarray] = None,  # [k] bool (default: all)
     mask: Optional[jnp.ndarray] = None,  # [n] bool (default: all)
+    init_centers: Optional[jnp.ndarray] = None,  # [k, d] explicit init
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (labels [n] int32 in [0, k), centers [k, d]).  Labels of
-    masked-out points are arbitrary (they track the nearest active center)."""
+    masked-out points are arbitrary (they track the nearest active center).
+
+    `init_centers` (the reference's `KMeans(init=...)` seeding from
+    HDBSCAN centroids, `modeling_spectral.py:131-135` and `:268-274`)
+    replaces the default Gumbel-top-k point draw when given.
+    """
     n, d = x.shape
     x = x.astype(jnp.float32)
     member = (
@@ -40,10 +46,13 @@ def kmeans(
     )
     act = jnp.ones((k,), bool) if active is None else active.astype(bool)
 
-    # init: k distinct member points (Gumbel top-k)
-    g = -jnp.log(-jnp.log(jax.random.uniform(key, (n,), minval=1e-9, maxval=1.0)))
-    idx = jax.lax.top_k(jnp.where(member, g, -jnp.inf), k)[1]
-    centers = x[idx]  # [k, d]
+    if init_centers is None:
+        # init: k distinct member points (Gumbel top-k)
+        g = -jnp.log(-jnp.log(jax.random.uniform(key, (n,), minval=1e-9, maxval=1.0)))
+        idx = jax.lax.top_k(jnp.where(member, g, -jnp.inf), k)[1]
+        centers = x[idx]  # [k, d]
+    else:
+        centers = init_centers.astype(jnp.float32)
 
     def assign(centers):
         d2 = (

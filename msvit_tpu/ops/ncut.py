@@ -278,3 +278,47 @@ def ncut(
     # column-normalize for a stable embedding scale
     f = f / (jnp.linalg.norm(f, axis=0, keepdims=True) + 1e-8)
     return f, eigvals
+
+
+def kway_ncut(
+    x: jnp.ndarray,  # [n, k] spectral embedding (top-k eigenvectors)
+    iters: int = 30,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multiclass spectral discretization (Yu & Shi 2003) — the
+    `ncut_pytorch.kway_ncut` the reference's debug path calls to turn the
+    spectral embedding into axis-aligned cluster assignments
+    (`modeling_spectral.py:137-140`: `aa_boosted_spectral` /
+    `aa_spectral`).
+
+    Returns ``(onehot [n, k], rotation [k, k])`` with
+    ``onehot ≈ one_hot(argmax(x̃ @ rotation))``; cluster id is
+    ``argmax(onehot, -1)``, and the rotation can re-align held-out rows
+    (`x_new @ rotation`).
+
+    Algorithm: row-normalize, greedy near-orthogonal row init for R,
+    then a fixed-count alternation of discretize (row argmax one-hot)
+    and orthogonal Procrustes (small [k,k] SVD) — [n,k]·[k,k] matmuls
+    plus an O(k³) SVD per step, trivially cheap at debug scale.
+    """
+    n, k = x.shape
+    x = x.astype(jnp.float32)
+    xn = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-8)
+
+    # Greedy init (Yu–Shi): start from the largest-norm row, then pick
+    # each next basis row to minimize accumulated |cos| to chosen rows.
+    rows = [xn[jnp.argmax(jnp.linalg.norm(x, axis=1))]]
+    c = jnp.zeros((n,), jnp.float32)
+    for _ in range(k - 1):
+        c = c + jnp.abs(xn @ rows[-1])
+        rows.append(xn[jnp.argmin(c)])
+    r0 = jnp.stack(rows, axis=1)  # [k, k]: columns are basis directions
+
+    def step(_, r):
+        d = jax.nn.one_hot(jnp.argmax(xn @ r, axis=1), k, dtype=jnp.float32)
+        # Procrustes: max_R tr(Rᵀ X̃ᵀ D), X̃ᵀD = U S Vᵀ → R = U Vᵀ
+        u, _, vt = jnp.linalg.svd(xn.T @ d, full_matrices=False)
+        return u @ vt
+
+    r = jax.lax.fori_loop(0, iters, step, r0)
+    onehot = jax.nn.one_hot(jnp.argmax(xn @ r, axis=1), k, dtype=jnp.float32)
+    return onehot, r

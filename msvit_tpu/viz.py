@@ -13,6 +13,9 @@ the t-SNE embedding itself runs on device via `ops/tsne.py`).
 * ``visualize_tsne_clusters`` — the spectral-debug t-SNE scatter
   (reference `modeling_spectral.py:289-301`); embedding computed on
   device (`ops/tsne.py`), only the scatter is host matplotlib.
+* ``visualize_spectral_debug`` — the full SpectralClustering debug
+  figure set (`modeling_spectral.py:98-165,289-316`): label-grid rows
+  (HDBSCAN/KMeans/axis-aligned) + per-image t-SNE RGB panels.
 
 matplotlib imports are deferred so the compute path never depends on it.
 """
@@ -248,3 +251,116 @@ def visualize_tsne_clusters(
         plt.show()
     plt.close(fig)
     return fig
+
+
+def visualize_spectral_debug(
+    ncut_x: np.ndarray,  # [bsz, N, ncut_dim] NCut eigenvectors
+    grid,  # (h, w) patch grid, h*w == N
+    key=None,
+    images: int = 3,
+    cluster_size_threshold: float = 0.02,
+    min_samples: int = 512,
+    tsne_iters: int = 500,
+    show: bool = True,
+    save_prefix: Optional[str] = None,
+):
+    """The reference SpectralClustering `visualize` debug figures
+    (`modeling_spectral.py:98-165` label grids and `:289-316` t-SNE
+    scatters), composed from the device ops:
+
+    * one figure of per-labelling patch-grid rows — HDBSCAN / centroid
+      / seeded-KMeans / axis-aligned assignments from
+      `spectral_debug_labels`, first ``images`` images side by side,
+      colored by the cluster palette (noise = gray);
+    * per image (first ``images``): the eigenvector heat-map strip
+      (`:98-106` — each NCut dimension painted on the patch grid, "bwr")
+      and the t-SNE panel — 2-D embedding scattered with the
+      min-max-normalized 3-D embedding as RGB, plus that RGB painted
+      onto the patch grid (both t-SNEs on device).
+
+    Returns ``(figs, labels)`` — the matplotlib figures and the label
+    OrderedDict.  Deviation: cluster colors use our cyclic palette
+    (`color`), not matplotlib's prop cycle.
+    """
+    import jax
+    import jax.numpy as jnp
+    from matplotlib import pyplot as plt
+
+    from msvit_tpu.models.clustering import spectral_debug_labels
+    from msvit_tpu.ops.tsne import tsne
+
+    ncut_x = np.asarray(ncut_x, np.float32)
+    bsz, n_tok, ncut_dim = ncut_x.shape
+    h, w = grid
+    if h * w != n_tok:
+        raise ValueError(f"grid {grid} does not tile N={n_tok}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    images = min(images, bsz)
+    figs = []
+
+    # eigenvector heat-maps: one row per image, columns = NCut dims
+    fig, axs = plt.subplots(
+        nrows=images,
+        ncols=ncut_dim,
+        figsize=(1.6 * ncut_dim, 1.6 * images),
+        squeeze=False,
+    )
+    vmax = np.abs(ncut_x[:images]).max() + 1e-8
+    for i in range(images):
+        for j in range(ncut_dim):
+            axs[i, j].imshow(
+                ncut_x[i, :, j].reshape(h, w), cmap="bwr", vmin=-vmax, vmax=vmax
+            )
+            axs[i, j].axis("off")
+            if i == 0:
+                axs[i, j].set_title(f"eig {j}", fontsize=8)
+    fig.tight_layout()
+    if save_prefix:
+        fig.savefig(f"{save_prefix}_eigs.png", bbox_inches="tight")
+    figs.append(fig)
+
+    labels = spectral_debug_labels(
+        jnp.asarray(ncut_x.reshape(bsz * n_tok, -1)),
+        key,
+        cluster_size_threshold=cluster_size_threshold,
+        min_samples=min_samples,
+    )
+    fig, axs = plt.subplots(
+        nrows=len(labels), ncols=1, figsize=(2.5 * images, 2.5 * len(labels))
+    )
+    axs = np.atleast_1d(axs)
+    for ax, (name, lab) in zip(axs, labels.items()):
+        cluster_im = np.full((bsz * n_tok, 3), 0.5, np.float32)  # noise gray
+        for cid in range(int(lab.max()) + 1):
+            cluster_im[lab == cid] = color(float(cid))
+        tiles = cluster_im.reshape(bsz, h, w, 3)[:images]
+        ax.imshow(np.concatenate(list(tiles), axis=1))
+        ax.set_title(name)
+        ax.axis("off")
+    fig.tight_layout()
+    if save_prefix:
+        fig.savefig(f"{save_prefix}_labels.png", bbox_inches="tight")
+    figs.append(fig)
+
+    for i in range(images):
+        xi = jnp.asarray(ncut_x[i])
+        y2, _ = tsne(xi, dim=2, n_iter=tsne_iters)
+        y3, _ = tsne(xi, dim=3, n_iter=tsne_iters)
+        y2, y3 = np.asarray(y2), np.asarray(y3)
+        c = (y3 - y3.min(axis=0)) / (np.ptp(y3, axis=0) + 1e-8)
+        fig, (ax_s, ax_im) = plt.subplots(ncols=2, figsize=(8.0, 4.0))
+        ax_s.scatter(y2[:, 0], y2[:, 1], c=c, s=16)
+        ax_s.set_title(f"Image {i}")
+        ax_s.set_aspect("equal")
+        ax_im.imshow(c.reshape(h, w, 3))
+        ax_im.axis("off")
+        if save_prefix:
+            fig.savefig(f"{save_prefix}_tsne{i}.png", bbox_inches="tight")
+        figs.append(fig)
+
+    if show:
+        plt.show()
+    for f in figs:
+        plt.close(f)
+    return figs, labels
