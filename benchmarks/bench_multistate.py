@@ -24,7 +24,8 @@ from msvit_tpu.models.multistate import (
 
 
 def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
-          shared_anchors: bool = False, anchors_per_parent: int = 256):
+          shared_anchors: bool = False, anchors_per_parent: int = 256,
+          banded: bool = False):
     cfg = MultiStateViTConfig(
         patch_size=8,
         image_size=224,
@@ -40,6 +41,7 @@ def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
             shared_anchors=shared_anchors,
             anchors_per_parent=anchors_per_parent,
         ),
+        banded_attention=banded,
     )
     model = MultiStateViTEncoderModel(cfg)
     rng = jax.random.PRNGKey(1212)
@@ -59,6 +61,8 @@ def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
         lambda i: fwd(params, pix, float(i + 1), keys[i]), iters=iters
     )
     tag = f"shared/{anchors_per_parent}" if shared_anchors else eig_method
+    if banded:
+        tag += "+banded"
     print(
         f"num_sample={num_sample:5d} ({tag}): {dt * 1e3:7.2f} ms/batch "
         f"({8 / dt:6.0f} img/s)",
@@ -71,11 +75,14 @@ if __name__ == "__main__":
     print("devices:", jax.devices())
     cases = sys.argv[1:] or ["1024", "512", "256"]
     for c in cases:
+        banded = c.startswith("banded")  # e.g. bandedshared1024/256
+        if banded:
+            c = c[len("banded"):]
         if c.startswith("shared"):
             # sharedM[/mc] e.g. shared1024/256
             body = c[len("shared"):]
             ns, _, mc = body.partition("/")
             bench(int(ns), shared_anchors=True,
-                  anchors_per_parent=int(mc or 256))
+                  anchors_per_parent=int(mc or 256), banded=banded)
         else:
-            bench(int(c))
+            bench(int(c), banded=banded)

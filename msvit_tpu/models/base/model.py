@@ -56,6 +56,7 @@ class BaseViTSelfAttention(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         output_attentions: bool = False,
+        banded_segments=None,  # ops.banded_attention.BandedSegments
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         cfg = self.config
         d, h, dh = cfg.hidden_size, cfg.num_attention_heads, cfg.head_dim
@@ -78,7 +79,25 @@ class BaseViTSelfAttention(nn.Module):
         # [B,H,N,64] operands have a 64-element minor dim that cripples
         # HBM DMA on v5e (ops/packed_attention.py; 3.7 vs 8.3 ms/layer
         # at ViT-B bs512, 1648→2073 img/s e2e bf16).
-        use_packed = (
+        # Cluster-banded multistate path (ops/banded_attention.py): the
+        # [S,S] mask is replaced by sorted segment ids; dead key blocks
+        # are skipped entirely.  Same params and layout as the packed
+        # path — only the kernel differs.
+        use_banded = (
+            banded_segments is not None
+            and context_states is None
+            and not output_attentions
+            and x.ndim == 3
+            and all(isinstance(s, int) for s in x.shape)
+        )
+        if banded_segments is not None and not use_banded:
+            # never silently drop the cluster structure (the caller did
+            # not pass a dense mask in banded mode)
+            raise ValueError(
+                "banded_segments requires plain self-attention without "
+                "output_attentions and with static shapes"
+            )
+        use_packed = use_banded or (
             cfg.attn_implementation in ("auto", "packed")
             and context_states is None
             and not output_attentions
@@ -91,10 +110,9 @@ class BaseViTSelfAttention(nn.Module):
             and all(isinstance(d, int) for d in x.shape)
             and _packed_available()
         )
-        if use_packed:
+        if use_packed and not use_banded:
             from msvit_tpu.ops.packed_attention import (
                 grouped_vmem_ok,
-                packed_attention,
                 packed_vmem_ok,
             )
 
@@ -103,7 +121,8 @@ class BaseViTSelfAttention(nn.Module):
             # pairs, dp-scratch backward) extends coverage to the
             # mid/long regime incl. multistate's 816-token soft-masked
             # layers.  Beyond both, fall back to fused/flash (grid over
-            # heads).
+            # heads).  (The banded kernel holds only a [128,128] score
+            # tile — no VMEM gate.)
             n_tok = x.shape[-2]
             eb = jnp.dtype(compute).itemsize
             has_mask = attention_mask is not None
@@ -129,7 +148,18 @@ class BaseViTSelfAttention(nn.Module):
                 qkvp = qkvp + (b_qkv.astype(compute) * qscale[0]).reshape(
                     3 * h * dh
                 )
-            out = packed_attention(qkvp, h, mask=attention_mask, scale=1.0)
+            if use_banded:
+                from msvit_tpu.ops.banded_attention import (
+                    multistate_banded_attention,
+                )
+
+                out = multistate_banded_attention(qkvp, banded_segments, h)
+            else:
+                from msvit_tpu.ops.packed_attention import packed_attention
+
+                out = packed_attention(
+                    qkvp, h, mask=attention_mask, scale=1.0
+                )
             if cfg.attention_probs_dropout_prob > 0.0 and not deterministic:
                 out = nn.Dropout(cfg.attention_probs_dropout_prob)(
                     out, deterministic=deterministic
@@ -302,6 +332,7 @@ class BaseViTLayer(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         output_attentions: bool = False,
+        banded_segments=None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         cfg = self.config
         from msvit_tpu.models.base.norm import LayerNorm
@@ -329,6 +360,7 @@ class BaseViTLayer(nn.Module):
             attention_mask=attention_mask,
             deterministic=deterministic,
             output_attentions=output_attentions,
+            banded_segments=banded_segments,
         )
         attn_out = attn_out * ls1.astype(attn_out.dtype)
         if cfg.drop_path_rate > 0.0 and not deterministic:

@@ -18,6 +18,14 @@ class MultiStateViTConfig(BaseViTConfig):
     # (reference `modeling_msvitencoder.py:146`)
     attention_mask_inf: float = 1e2
     clustering: ClusteringConfig = SpectralClusteringConfig()
+    # Cluster-banded attention (ops/banded_attention.py): keep tokens
+    # sorted by cluster id and skip fully-masked key blocks instead of
+    # computing the dense [S,S] soft-masked scores.  Deviation: masked
+    # token-row contributions are dropped rather than e^{-inf}-attenuated
+    # (≤1e-30 relative).  Ignored when per-layer attention probabilities
+    # are requested; the last layer stays dense (it emits the pooled
+    # RX→TX attentions).
+    banded_attention: bool = False
 
     @property
     def max_clusters(self) -> int:

@@ -106,7 +106,32 @@ class MultiStateViTEncoderBackbone(nn.Module):
 
         cluster_indices = jnp.zeros((b, n), jnp.int32)
         n_clusters = jnp.asarray(1, jnp.int32)
-        mask = build_multistate_attention_mask(cluster_indices, n_clusters, c)
+
+        # Cluster-banded mode (config.banded_attention): tokens are kept
+        # sorted by cluster id so attention can skip dead key blocks
+        # (ops/banded_attention.py).  `order` maps sorted position →
+        # original token index; outputs are unsorted through `inv_order`
+        # before leaving the backbone.  Per-layer attention probabilities
+        # need the dense path, so the flag is ignored under
+        # output_attentions, and the last layer stays dense only in its
+        # prefix semantics (the banded op computes prefix rows densely) —
+        # here it runs fully dense because it must emit RX→TX probs.
+        banded = cfg.banded_attention and not output_attentions
+        mask = (
+            None
+            if banded
+            else build_multistate_attention_mask(cluster_indices, n_clusters, c)
+        )
+        order = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None], (b, n)
+        )
+        inv_order = order
+
+        def unsort(arr, inv):
+            if not banded:
+                return arr
+            idx = inv.reshape(inv.shape + (1,) * (arr.ndim - 2))
+            return jnp.take_along_axis(arr, idx, axis=1)
 
         collect: Dict[str, list] = {
             "hidden_states": [hidden_states],
@@ -125,10 +150,15 @@ class MultiStateViTEncoderBackbone(nn.Module):
                 and i % cfg.generation_period == 0
             ):
                 rng, step_key = jax.random.split(rng)
+                # clustering must see tokens in ORIGINAL order: its anchor
+                # draws are positional, so feeding the sorted layout would
+                # change which tokens become anchors — banded and dense
+                # modes would cluster differently with the same rng
+                h_orig = unsort(hidden_states, inv_order)
                 child_indices, n_children = cluster(
                     cfg.clustering,
-                    cluster_indices,
-                    jax.lax.stop_gradient(hidden_states.astype(jnp.float32)),
+                    unsort(cluster_indices, inv_order),
+                    jax.lax.stop_gradient(h_orig.astype(jnp.float32)),
                     step_key,
                 )
                 # duplicate parent TX/RX pairs onto their children via
@@ -154,28 +184,59 @@ class MultiStateViTEncoderBackbone(nn.Module):
                         cluster_tokens, parent_of[:, :, None, None], axis=1
                     )
                     n_clusters = jnp.maximum(cum[:, -1].astype(jnp.int32), 1)
-                cluster_indices = child_indices
-                mask = build_multistate_attention_mask(
-                    cluster_indices, n_clusters, c
-                )
+                if banded:
+                    # child_indices are in original token order; re-sort
+                    # everything by the new ids (no perm composition —
+                    # `order` is always argsort of the original-order ids)
+                    order = jnp.argsort(child_indices, axis=1)
+                    inv_order = jnp.argsort(order, axis=1)
+                    hidden_states = jnp.take_along_axis(
+                        h_orig, order[..., None], axis=1
+                    )
+                    cluster_indices = jnp.take_along_axis(
+                        child_indices, order, axis=1
+                    )
+                else:
+                    cluster_indices = child_indices
+                    mask = build_multistate_attention_mask(
+                        cluster_indices, n_clusters, c
+                    )
 
             concat = jnp.concatenate(
                 [cluster_tokens.reshape(b, 2 * c, d), hidden_states], axis=1
-            )
-            # soft mask (reference `:146`): scores − inf·(1−mask)
-            additive = jnp.where(mask, 0.0, -cfg.attention_mask_inf).astype(
-                jnp.float32
             )
             # probabilities are only a model output on the last layer (the
             # pooled RX→TX attentions) or when per-layer attentions are
             # requested; other layers can use the fused prob-free kernel
             need_probs = output_attentions or i == cfg.num_hidden_layers - 1
-            concat, probs = BaseViTLayer(cfg, name=f"layer_{i}")(
-                concat,
-                attention_mask=additive,
-                deterministic=deterministic,
-                output_attentions=need_probs,
-            )
+            if banded and not need_probs:
+                from msvit_tpu.ops.banded_attention import BandedSegments
+
+                concat, probs = BaseViTLayer(cfg, name=f"layer_{i}")(
+                    concat,
+                    deterministic=deterministic,
+                    banded_segments=BandedSegments(
+                        cid=cluster_indices,
+                        n_clusters=n_clusters,
+                        max_clusters=c,
+                        mask_inf=cfg.attention_mask_inf,
+                    ),
+                )
+            else:
+                if banded:  # last layer: dense, mask over sorted tokens
+                    mask = build_multistate_attention_mask(
+                        cluster_indices, n_clusters, c
+                    )
+                # soft mask (reference `:146`): scores − inf·(1−mask)
+                additive = jnp.where(
+                    mask, 0.0, -cfg.attention_mask_inf
+                ).astype(jnp.float32)
+                concat, probs = BaseViTLayer(cfg, name=f"layer_{i}")(
+                    concat,
+                    attention_mask=additive,
+                    deterministic=deterministic,
+                    output_attentions=need_probs,
+                )
             cluster_tokens = concat[:, : 2 * c].reshape(b, c, 2, d)
             hidden_states = concat[:, 2 * c :]
 
@@ -184,9 +245,13 @@ class MultiStateViTEncoderBackbone(nn.Module):
             if need_probs:
                 rx_to_tx = probs[:, :, 1 : 2 * c : 2, 0 : 2 * c : 2]
             if output_hidden_states:
-                collect["hidden_states"].append(hidden_states)
+                collect["hidden_states"].append(
+                    unsort(hidden_states, inv_order)
+                )
             if output_cluster_indices:
-                collect["cluster_indices"].append(cluster_indices)
+                collect["cluster_indices"].append(
+                    unsort(cluster_indices, inv_order)
+                )
             if output_cluster_tokens:
                 collect["cluster_tokens"].append(cluster_tokens)
             if output_attentions:
@@ -202,9 +267,9 @@ class MultiStateViTEncoderBackbone(nn.Module):
                 collect["receiver_to_transmitter_attentions"].append(rx_to_tx)
 
         return {
-            "last_hidden_state": hidden_states,
+            "last_hidden_state": unsort(hidden_states, inv_order),
             "last_cluster_tokens": cluster_tokens,
-            "last_cluster_indices": cluster_indices,
+            "last_cluster_indices": unsort(cluster_indices, inv_order),
             "num_clusters": n_clusters,
             "last_receiver_to_transmitter_attentions": rx_to_tx,
             **{k: (v if v else None) for k, v in collect.items()},
