@@ -25,10 +25,10 @@ from msvit_tpu.models.multistate import (
 
 def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
           shared_anchors: bool = False, anchors_per_parent: int = 256,
-          banded: bool = False):
+          banded: bool = False, image_size: int = 224, batch: int = 8):
     cfg = MultiStateViTConfig(
         patch_size=8,
-        image_size=224,
+        image_size=image_size,
         pregeneration_period=4,
         generation_period=2,
         clustering=SpectralClusteringConfig(
@@ -45,7 +45,9 @@ def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
     )
     model = MultiStateViTEncoderModel(cfg)
     rng = jax.random.PRNGKey(1212)
-    pix = jax.random.normal(rng, (8, 224, 224, 3), jnp.float32)
+    pix = jax.random.normal(
+        rng, (batch, image_size, image_size, 3), jnp.float32
+    )
     params = jax.jit(model.init)({"params": rng, "clustering": rng}, pix[:1])
 
     # params are a jit ARGUMENT: closure-captured arrays get inlined as
@@ -63,9 +65,11 @@ def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
     tag = f"shared/{anchors_per_parent}" if shared_anchors else eig_method
     if banded:
         tag += "+banded"
+    if image_size != 224:
+        tag += f"@{image_size}"
     print(
         f"num_sample={num_sample:5d} ({tag}): {dt * 1e3:7.2f} ms/batch "
-        f"({8 / dt:6.0f} img/s)",
+        f"({batch / dt:6.0f} img/s)",
         flush=True,
     )
     return dt
@@ -75,6 +79,10 @@ if __name__ == "__main__":
     print("devices:", jax.devices())
     cases = sys.argv[1:] or ["1024", "512", "256"]
     for c in cases:
+        size = 224
+        if c.startswith("i"):  # e.g. i448:bandedshared1024/256
+            pre, _, c = c.partition(":")
+            size = int(pre[1:])
         banded = c.startswith("banded")  # e.g. bandedshared1024/256
         if banded:
             c = c[len("banded"):]
@@ -83,6 +91,7 @@ if __name__ == "__main__":
             body = c[len("shared"):]
             ns, _, mc = body.partition("/")
             bench(int(ns), shared_anchors=True,
-                  anchors_per_parent=int(mc or 256), banded=banded)
+                  anchors_per_parent=int(mc or 256), banded=banded,
+                  image_size=size)
         else:
-            bench(int(c), banded=banded)
+            bench(int(c), banded=banded, image_size=size)

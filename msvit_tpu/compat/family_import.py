@@ -42,6 +42,45 @@ def import_into_multistate(
     return out
 
 
+def transfer_base_to_multistate(
+    base_params: Mapping[str, Any], params: Dict[str, Any], num_layers: int
+) -> Dict[str, Any]:
+    """Flax→flax version of the multistate bootstrap: initialize a
+    MultiStateViTEncoderModel from a `ViTModel` param tree trained IN
+    THIS FRAMEWORK (e.g. examples/train_digits.py) instead of an HF
+    state dict — same semantics as the reference's pretrained load
+    (`modeling_msvitencoder.py:681-690`): embeddings minus the CLS slot,
+    per-layer trunk weights, TX/RX tokens from the CLS token.
+
+    Oracle-tested against `import_into_multistate` on the same
+    checkpoint (tests/test_family_transfer.py).  Position tables of a
+    different length are bicubically resampled (the DINO trick)."""
+    from msvit_tpu.models.base.vit import interpolate_pos_embed
+
+    src_emb = base_params["embeddings"]
+    out = dict(params)
+    dst_emb = dict(out["embeddings"])
+    dst_emb["patch_projection"] = src_emb["patch_projection"]
+    pos = jnp.asarray(src_emb["position_embeddings"])[:, 1:]  # drop CLS row
+    want_len = out["embeddings"]["position_embeddings"].shape[1]
+    if pos.shape[1] != want_len:
+        g = int(round(want_len**0.5))
+        pos = interpolate_pos_embed(pos, want_len, (g, g), has_cls=False)
+    dst_emb["position_embeddings"] = pos.astype(
+        out["embeddings"]["position_embeddings"].dtype
+    )
+    out["embeddings"] = dst_emb
+
+    backbone = dict(out["backbone"])
+    for i in range(num_layers):
+        backbone[f"layer_{i}"] = base_params["encoder"][f"layer_{i}"]
+    cls = jnp.asarray(src_emb["cls_token"])[0, 0]
+    backbone["transmitter_token"] = cls
+    backbone["receiver_token"] = cls
+    out["backbone"] = backbone
+    return out
+
+
 def import_into_predictive(
     state_dict: Mapping[str, Any], config, params: Dict[str, Any]
 ) -> Dict[str, Any]:

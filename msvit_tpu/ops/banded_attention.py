@@ -43,19 +43,21 @@ is capacity-free: cost tracks the *actual* sorted layout at key-block
 (128) granularity, and degrades gracefully to the dense cost when one
 cluster owns everything (the pregeneration layers).
 
-**Recorded negative at the BASELINE shape** (benchmarks/RESULTS.md
-"Cluster-banded attention"): at bs8 / 816 rows / 12 heads, BOTH kernel
-structures lose to the dense grouped packed kernel on chip —
-(1) fori_loop of [128,128] tiles with loop-carried accumulators:
-5.6-10.9 ms vs dense 2.3-2.4 ms; (2) dense-MXU rows + pl.when-predicated
-VPU tiles (this file): flat 8.5-8.9 ms across ALL cluster distributions,
-i.e. the tiled structure itself (skinny-M dots, scratch round-trips,
-per-tile branches) costs more than the skipped work saves.  At N≲1k on
-v5e the single big [N,N] dot per head is what Mosaic pipelines best.
-The mode stays available (default OFF) because it is semantics-correct,
-parity-tested, and never materializes the [S,S] mask in any memory
-space — the memory-bound option for long-sequence configs where the
-dense mask alone is hundreds of MB.
+**Measured standing** (chip, same-process; full iteration history in
+benchmarks/RESULTS.md "Cluster-banded attention"): the final structure
+(v4: q-block grid dimension, ≤1024-key in-kernel chunks, and — the
+decisive fix — 2-D-row operands with lane-block index maps into the
+q/k/v thirds instead of a [B,S,3,D] view whose size-3 dim Mosaic pads
+to 8 sublanes, 2.67× VMEM/DMA inflation) **beats the dense grouped
+packed kernel at the BASELINE multistate shape**: 2.20-2.26 ms vs
+2.43-2.60 ms per layer-attention (bs8, 816 rows, 12 heads; 1.09-1.19×
+across cluster distributions, exact break-even when one cluster owns
+everything), ≈3% end-to-end (35.8 vs 36.7 ms/batch).  At 3136 tokens
+(448 px) it compiles and runs but LOSES to the flash fallback (250 vs
+218 ms/batch e2e) — the dense-MXU-rows design pays full score dots
+while flash's online accumulation is better adapted there.  Default
+OFF: the e2e win is modest, training would pay the XLA-recompute
+backward, and the production multistate serving path is int8.
 """
 
 from __future__ import annotations
@@ -71,6 +73,7 @@ from jax.experimental.pallas import tpu as pltpu
 _CLIP = 80.0
 _BQ = 128  # query block (sublane dim of the score tile)
 _BK = 128  # key block (lane dim — dynamic lane offsets must be 128-aligned)
+_CK = 1024  # key CHUNK: caps the in-kernel f32 score row + prob scratch
 
 
 class BandedSegments(NamedTuple):
@@ -111,98 +114,114 @@ def _band_limits(
 
 
 def _banded_kernel(
-    kmm_ref,  # SMEM [1, 2, nQB] int32
-    qkv_ref,  # [1, S_pad, 3, gw] — prefix rows first, then sorted tokens
-    cidq_ref,  # [1, N_pad, 1] int32 (pad = -1)
+    kmm_ref,  # SMEM [1, 2, nQB] int32 — indexed by program_id(2)
+    q_ref,  # [1, BQ, gw] — this program's query row block
+    k_ref,  # [1, N_pad + pfx, gw] — keys: sorted tokens first, prefix LAST
+    v_ref,  # [1, N_pad + pfx, gw] — values, same layout
+    cidq_ref,  # [1, BQ, 1] int32 (pad = -1)
     cidk_ref,  # [1, 1, N_pad] int32 (pad = -1)
-    o_ref,  # [1, N_pad, gw]
-    p_ref,  # VMEM scratch [BQ, N_pad] — probability row block
+    o_ref,  # [1, BQ, gw]
+    p_ref,  # VMEM scratch [BQ, min(N_pad, _CK)] — probability chunk
     *,
     hg: int,
     dh: int,
-    pfx: int,  # 2C — static prefix length (token rows start here)
+    pfx: int,  # 2C — static prefix length (prefix rows start at N_pad)
     n_qblocks: int,
 ):
-    # Structure (second iteration — the first used a fori_loop of
-    # [128,128] tiles with loop-carried accumulators and was 2.4-4.6x
-    # SLOWER than the dense kernel on chip; small-tile control flow and
-    # dynamic slices dominate).  The dense kernel's cost is the VPU
-    # exp/mask chain over the [N,N] scores, not the MXU dots — so: do
-    # the score and PV matmuls DENSE over the full row block (big, fast
-    # MXU ops, no dynamic shapes), and predicate only the expensive VPU
-    # chain per key tile: dead tiles get a single zero fill of the
-    # probability scratch instead of mask+clip+exp+cast.
-    for qb in range(n_qblocks):
-        kmin = kmm_ref[0, 0, qb]
-        kmax = kmm_ref[0, 1, qb]
-        cq = cidq_ref[0, qb * _BQ : (qb + 1) * _BQ, :]  # [BQ, 1]
-        outs = []
-        for h in range(hg):
-            lanes = slice(h * dh, (h + 1) * dh)
-            q = qkv_ref[0, pfx + qb * _BQ : pfx + (qb + 1) * _BQ, 0, lanes]
-            k_all = qkv_ref[0, pfx:, 1, lanes]  # [N_pad, dh]
-            v_all = qkv_ref[0, pfx:, 2, lanes]
-            kp = qkv_ref[0, :pfx, 1, lanes]  # [2C, dh] prefix keys
-            vp = qkv_ref[0, :pfx, 2, lanes]
+    # Structure (third iteration).  v1 used a fori_loop of [128,128]
+    # tiles with loop-carried accumulators — 2.4-4.6x SLOWER than the
+    # dense kernel on chip (small-tile control flow and dynamic slices
+    # dominate).  v2 unrolled all q blocks inside one program — the
+    # Mosaic stack kept every q block's [BQ, N_pad] f32 scores live and
+    # OOM'd scoped VMEM at 3136 tokens (25.7M > 16M) after a 23-minute
+    # compile.  v3 (this): the q block is a GRID dimension — one row
+    # block per program, the qkv/cid blocks' index maps are constant in
+    # qb so Pallas skips their re-DMA, compile scales linearly, and the
+    # per-program footprint is one score row block.  The dense kernel's
+    # cost is the VPU exp/mask chain, not the MXU dots — so the score
+    # and PV matmuls run DENSE over the full row (big, fast MXU ops, no
+    # dynamic shapes) and only the VPU chain is predicated per key tile:
+    # dead tiles get a single zero fill of the probability scratch
+    # instead of mask+clip+exp+cast.
+    n_pad = n_qblocks * _BK
+    qb = pl.program_id(2)
+    kmin = kmm_ref[0, 0, qb]
+    kmax = kmm_ref[0, 1, qb]
+    cq = cidq_ref[0]  # [BQ, 1]
+    outs = []
+    for h in range(hg):
+        lanes = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, lanes]  # [BQ, dh]
+        kp = k_ref[0, n_pad:, lanes]  # [2C, dh] prefix keys
+        vp = v_ref[0, n_pad:, lanes]
 
+        # key axis in ≤_CK chunks: bounds the f32 score row and the
+        # probability scratch regardless of N (the no-max softmax makes
+        # chunk contributions a plain sum — no online rescale), and K/V
+        # are sliced per chunk from the ref so whole-K values never
+        # materialize.  One chunk at the BASELINE shape.
+        l = jnp.zeros((_BQ, 1), jnp.float32)
+        o = jnp.zeros((_BQ, dh), jnp.float32)
+        for c0 in range(0, n_qblocks, _CK // _BK):
+            c1 = min(c0 + _CK // _BK, n_qblocks)
+            ck_len = (c1 - c0) * _BK
+            rows = slice(c0 * _BK, c1 * _BK)
+            k_c = k_ref[0, rows, lanes]  # [ck_len, dh]
+            v_c = v_ref[0, rows, lanes]
             s = jax.lax.dot_general(
-                q, k_all, (((1,), (1,)), ((), ())),
+                q, k_c, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [BQ, N_pad]
-            for kb in range(n_qblocks):
-                tile = slice(kb * _BK, (kb + 1) * _BK)
+            )  # [BQ, ck_len]
+            for kb in range(c0, c1):
+                tile = slice((kb - c0) * _BK, (kb - c0 + 1) * _BK)
                 live = (kb >= kmin) & (kb <= kmax)
 
                 @pl.when(live)
-                def _(tile=tile):
-                    ck = cidk_ref[0, :, tile]  # [1, BK]
+                def _(tile=tile, kb=kb):
+                    ckid = cidk_ref[0, :, kb * _BK : (kb + 1) * _BK]
                     p_ref[:, tile] = jnp.where(
-                        cq == ck,
+                        cq == ckid,
                         jnp.exp(jnp.clip(s[:, tile], -_CLIP, _CLIP)),
                         0.0,
                     ).astype(p_ref.dtype)
 
                 @pl.when(jnp.logical_not(live))
                 def _(tile=tile):
-                    p_ref[:, tile] = jnp.zeros(
-                        (_BQ, _BK), p_ref.dtype
-                    )
+                    p_ref[:, tile] = jnp.zeros((_BQ, _BK), p_ref.dtype)
 
-            pb = p_ref[...]
-            l = jax.lax.dot_general(
-                pb, jnp.ones((pb.shape[1], 1), pb.dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            o = jax.lax.dot_general(
-                pb, v_all, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # the one off-band key: this cluster's RX token (prefix row
-            # 2·cid+1).  One [BQ, 2C] dot + a one-hot column mask.
-            sp = jax.lax.dot_general(
-                q, kp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [BQ, 2C]
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, pfx), 1)
-            pp = jnp.where(
-                col == 2 * cq + 1, jnp.exp(jnp.clip(sp, -_CLIP, _CLIP)), 0.0
-            ).astype(qkv_ref.dtype)
+            pb = p_ref[:, :ck_len]
             l = l + jax.lax.dot_general(
-                pp, jnp.ones((pfx, 1), qkv_ref.dtype),
+                pb, jnp.ones((ck_len, 1), pb.dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             o = o + jax.lax.dot_general(
-                pp, vp, (((1,), (0,)), ((), ())),
+                pb, v_c, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            # padded query rows can have an empty band (l == 0) — guard
-            # the divide; their rows are sliced off by the caller
-            outs.append((o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
-        o_ref[0, qb * _BQ : (qb + 1) * _BQ, :] = jnp.concatenate(
-            outs, axis=1
+        # the one off-band key: this cluster's RX token (prefix row
+        # 2·cid+1).  One [BQ, 2C] dot + a one-hot column mask.
+        sp = jax.lax.dot_general(
+            q, kp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, 2C]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, pfx), 1)
+        pp = jnp.where(
+            col == 2 * cq + 1, jnp.exp(jnp.clip(sp, -_CLIP, _CLIP)), 0.0
+        ).astype(q_ref.dtype)
+        l = l + jax.lax.dot_general(
+            pp, jnp.ones((pfx, 1), q_ref.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        o = o + jax.lax.dot_general(
+            pp, vp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # padded query rows can have an empty band (l == 0) — guard
+        # the divide; their rows are sliced off by the caller
+        outs.append((o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
 
 
 @functools.partial(
@@ -226,30 +245,47 @@ def _token_rows_banded(
     n_qblocks = n_pad // _BQ
 
     qkv4 = qkv.reshape(b, s, 3, d)
+    # kernel layout: sorted tokens first (padded to N_pad), prefix LAST —
+    # token row blocks then align with the q-block grid dimension.  The
+    # array stays 2-D-rows [B, S_pad, 3D]: a [B, S, 3, D] view pads the
+    # size-3 dim to 8 sublanes on TPU (2.67x VMEM inflation — this is
+    # what OOM'd the 3136-token compile at 18.4M).  The q/k/v thirds are
+    # addressed by lane-block index maps into the same array instead.
+    tok = qkv4[:, pfx:]
     if n_pad != n:
-        qkv4 = jnp.pad(qkv4, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+        tok = jnp.pad(tok, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+    arr = jnp.concatenate([tok, qkv4[:, :pfx]], axis=1).reshape(
+        b, n_pad + pfx, 3 * d
+    )
     cid_pad = jnp.pad(cid, ((0, 0), (0, n_pad - n)), constant_values=-1)
     kmm = _band_limits(cid, max_clusters, n_qblocks)  # [B, 2, nQB]
 
+    ng = d // gw  # lane blocks per qkv third
     out = pl.pallas_call(
         functools.partial(
             _banded_kernel, hg=hg, dh=dh, pfx=pfx, n_qblocks=n_qblocks
         ),
-        grid=(b, num_heads // hg),
+        grid=(b, ng, n_qblocks),
         in_specs=[
-            pl.BlockSpec((1, 2, n_qblocks), lambda i, g: (i, 0, 0),
+            pl.BlockSpec((1, 2, n_qblocks), lambda i, g, qb: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, pfx + n_pad, 3, gw), lambda i, g: (i, 0, 0, g),
+            pl.BlockSpec((1, _BQ, gw), lambda i, g, qb: (i, qb, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, 1), lambda i, g: (i, 0, 0),
+            pl.BlockSpec((1, n_pad + pfx, gw),
+                         lambda i, g, qb: (i, 0, ng + g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda i, g: (i, 0, 0),
+            pl.BlockSpec((1, n_pad + pfx, gw),
+                         lambda i, g, qb: (i, 0, 2 * ng + g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BQ, 1), lambda i, g, qb: (i, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i, g, qb: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_pad, gw), lambda i, g: (i, 0, g),
+        out_specs=pl.BlockSpec((1, _BQ, gw), lambda i, g, qb: (i, qb, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, d), qkv.dtype),
-        scratch_shapes=[pltpu.VMEM((_BQ, n_pad), qkv.dtype)],
+        scratch_shapes=[pltpu.VMEM((_BQ, min(n_pad, _CK)), qkv.dtype)],
         cost_estimate=pl.CostEstimate(
             # upper bound (dense band); actual flops are data-dependent
             flops=4 * b * num_heads * n * n * dh,
@@ -257,7 +293,7 @@ def _token_rows_banded(
             transcendentals=b * num_heads * n * n,
         ),
         interpret=jax.devices()[0].platform != "tpu",
-    )(kmm, qkv4, cid_pad[:, :, None], cid_pad[:, None, :])
+    )(kmm, arr, arr, arr, cid_pad[:, :, None], cid_pad[:, None, :])
     return out[:, :n]
 
 
