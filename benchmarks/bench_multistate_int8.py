@@ -82,15 +82,24 @@ def bench(bs: int, iters: int = 20):
         )
         return jnp.sum(out["last_hidden_state"].astype(jnp.float32))
 
+    @jax.jit
+    def fwd_int8_banded(qp_, x, i, key):
+        out = quantized_multistate_apply(
+            qp_, cfg, x + i * 1e-6, key, act_scales=scales,
+            attn_mode="banded",
+        )
+        return jnp.sum(out["last_hidden_state"].astype(jnp.float32))
+
     keys = jax.random.split(jax.random.PRNGKey(1), iters + 4)
     # alternate twice: the chip's clock state drifts over the first
     # minutes of a process, so a single A/B order can fake a win
     for name, fn, arg in (
         ("bf16", fwd_bf16, params),
         ("int8", fwd_int8, qp),
-        ("int8-attn", fwd_int8_attn, qp),
+        ("int8-banded", fwd_int8_banded, qp),
         ("bf16-again", fwd_bf16, params),
         ("int8-again", fwd_int8, qp),
+        ("int8-banded2", fwd_int8_banded, qp),
     ):
         dt = bench_queued(lambda i: fn(arg, pix, float(i + 1), keys[i]),
                           iters=iters)

@@ -94,14 +94,18 @@ def quantized_multistate_apply(
     num_clusters, receiver_to_transmitter_attentions.
 
     `attn_mode` picks the trunk attention: "bf16" (default — int8 GEMMs
-    around the bf16 shaved packed kernel) or "int8" (the fully-int8
-    masked kernel; needs `act_scales` from
+    around the bf16 shaved packed kernel), "banded" (int8 GEMMs around
+    the cluster-banded bf16 kernel, `ops/banded_attention.py` — tokens
+    kept cluster-sorted, dead key blocks skipped, no [S,S] mask
+    materialized; ~1.1-1.2x the packed kernel at the BASELINE shape) or
+    "int8" (the fully-int8 masked kernel; needs `act_scales` from
     `calibrate_multistate_act_scales`).  Default is bf16 because at the
     multistate shape (N=816, soft-masked) the int8 kernel's extra
     [N,N] VPU work loses to its MXU savings — measured 9.5 vs 6.4
     ms/layer-equiv at bs32 (proto_msint8_parts.py; RESULTS.md records
     the negative).  While `_record_scales` is collecting, attention
-    always runs bf16."""
+    always runs dense bf16 (absmax scales are permutation-invariant, so
+    they serve every mode)."""
     cfg = config
     p = cfg.patch_size
     b, img_h, img_w, _ = pixel_values.shape
@@ -134,8 +138,10 @@ def quantized_multistate_apply(
         if use_kernels is not None
         else jax.devices()[0].platform == "tpu"
     )
-    if attn_mode not in ("bf16", "int8"):
-        raise ValueError(f"attn_mode must be 'bf16' or 'int8'; got {attn_mode}")
+    if attn_mode not in ("bf16", "int8", "banded"):
+        raise ValueError(
+            f"attn_mode must be 'bf16', 'int8' or 'banded'; got {attn_mode}"
+        )
     int8_attn = (
         attn_mode == "int8"
         and on_tpu
@@ -144,6 +150,18 @@ def quantized_multistate_apply(
         and _record_scales is None
         and int8_grouped_vmem_ok(2 * c + n, d, h)
     )
+    banded = attn_mode == "banded" and _record_scales is None
+    # banded mode: tokens kept sorted by cluster id (see
+    # models/multistate/model.py — clustering must see the ORIGINAL
+    # order so its positional anchor draws match the dense modes)
+    order = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    inv_order = order
+
+    def unsort(arr, inv):
+        if not banded:
+            return arr
+        idx = inv.reshape(inv.shape + (1,) * (arr.ndim - 2))
+        return jnp.take_along_axis(arr, idx, axis=1)
 
     bb = qparams["backbone"]
     tx = bb["transmitter_token"]
@@ -153,16 +171,21 @@ def quantized_multistate_apply(
     ).astype(hidden.dtype)
     cluster_indices = jnp.zeros((b, n), jnp.int32)
     n_clusters = jnp.asarray(1, jnp.int32)
-    mask = build_multistate_attention_mask(cluster_indices, n_clusters, c)
+    mask = (
+        None
+        if banded
+        else build_multistate_attention_mask(cluster_indices, n_clusters, c)
+    )
 
     rx_to_tx = None
     for i in range(cfg.num_hidden_layers):
         if i >= cfg.pregeneration_period and i % cfg.generation_period == 0:
             rng, step_key = jax.random.split(rng)
+            h_orig = unsort(hidden, inv_order)
             child_indices, n_children = cluster(
                 cfg.clustering,
-                cluster_indices,
-                jax.lax.stop_gradient(hidden.astype(jnp.float32)),
+                unsort(cluster_indices, inv_order),
+                jax.lax.stop_gradient(h_orig.astype(jnp.float32)),
                 step_key,
             )
             # TX/RX duplication via cumsum + searchsorted
@@ -184,18 +207,36 @@ def quantized_multistate_apply(
                     cluster_tokens, parent_of[:, :, None, None], axis=1
                 )
                 n_clusters = jnp.maximum(cum[:, -1].astype(jnp.int32), 1)
-            cluster_indices = child_indices
-            mask = build_multistate_attention_mask(
-                cluster_indices, n_clusters, c
-            )
+            if banded:
+                order = jnp.argsort(child_indices, axis=1)
+                inv_order = jnp.argsort(order, axis=1)
+                hidden = jnp.take_along_axis(
+                    h_orig, order[..., None], axis=1
+                )
+                cluster_indices = jnp.take_along_axis(
+                    child_indices, order, axis=1
+                )
+            else:
+                cluster_indices = child_indices
+                mask = build_multistate_attention_mask(
+                    cluster_indices, n_clusters, c
+                )
 
         concat = jnp.concatenate(
             [cluster_tokens.reshape(b, 2 * c, d), hidden], axis=1
         )
-        additive = jnp.where(mask, 0.0, -cfg.attention_mask_inf).astype(
-            jnp.float32
-        )
         need_probs = i == cfg.num_hidden_layers - 1
+        if banded and need_probs:  # last layer: dense over sorted tokens
+            mask = build_multistate_attention_mask(
+                cluster_indices, n_clusters, c
+            )
+        additive = (
+            None
+            if mask is None
+            else jnp.where(mask, 0.0, -cfg.attention_mask_inf).astype(
+                jnp.float32
+            )
+        )
         lp = bb["layers"][f"layer_{i}"]
 
         y = _layer_norm(concat, lp["norm1"], eps)
@@ -231,6 +272,30 @@ def quantized_multistate_apply(
                 out = jnp.swapaxes(out4, 1, 2).reshape(b, nt, d).astype(
                     qkv.dtype
                 )
+            elif banded:
+                from msvit_tpu.ops.banded_attention import (
+                    BandedSegments,
+                    multistate_banded_attention,
+                )
+
+                dh = d // h
+                qkv_s = jnp.concatenate(
+                    [
+                        qkv[:, :, :d] * jnp.asarray(dh**-0.5, qkv.dtype),
+                        qkv[:, :, d:],
+                    ],
+                    axis=-1,
+                )
+                out = multistate_banded_attention(
+                    qkv_s,
+                    BandedSegments(
+                        cid=cluster_indices,
+                        n_clusters=n_clusters,
+                        max_clusters=c,
+                        mask_inf=cfg.attention_mask_inf,
+                    ),
+                    h,
+                )
             elif on_tpu:
                 out = packed_attention(qkv, h, mask=additive)
             else:
@@ -256,10 +321,10 @@ def quantized_multistate_apply(
         hidden = concat[:, 2 * c :]
 
     return {
-        "last_hidden_state": hidden,
+        "last_hidden_state": unsort(hidden, inv_order),
         "last_cluster_tokens": cluster_tokens,
         "cluster_tokens": cluster_tokens[:, :, 0, :],
-        "last_cluster_indices": cluster_indices,
+        "last_cluster_indices": unsort(cluster_indices, inv_order),
         "num_clusters": n_clusters,
         "receiver_to_transmitter_attentions": rx_to_tx,
     }

