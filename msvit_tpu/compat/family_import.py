@@ -36,8 +36,10 @@ def import_into_multistate(
     for i in range(config.num_hidden_layers):
         backbone[f"layer_{i}"] = trunk["encoder"][f"layer_{i}"]
     cls = jnp.asarray(_cls_token(state_dict))
-    backbone["transmitter_token"] = cls
-    backbone["receiver_token"] = cls
+    # distinct buffers: a donating train step (Trainer donate=True) may
+    # not receive the same buffer twice in one donated tree
+    backbone["transmitter_token"] = jnp.array(cls)
+    backbone["receiver_token"] = jnp.array(cls)
     out["backbone"] = backbone
     return out
 
@@ -75,8 +77,9 @@ def transfer_base_to_multistate(
     for i in range(num_layers):
         backbone[f"layer_{i}"] = base_params["encoder"][f"layer_{i}"]
     cls = jnp.asarray(src_emb["cls_token"])[0, 0]
-    backbone["transmitter_token"] = cls
-    backbone["receiver_token"] = cls
+    # distinct buffers — see import_into_multistate (double donation)
+    backbone["transmitter_token"] = jnp.array(cls)
+    backbone["receiver_token"] = jnp.array(cls)
     out["backbone"] = backbone
     return out
 
