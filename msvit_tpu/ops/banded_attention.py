@@ -48,16 +48,20 @@ benchmarks/RESULTS.md "Cluster-banded attention"): the final structure
 (v4: q-block grid dimension, ≤1024-key in-kernel chunks, and — the
 decisive fix — 2-D-row operands with lane-block index maps into the
 q/k/v thirds instead of a [B,S,3,D] view whose size-3 dim Mosaic pads
-to 8 sublanes, 2.67× VMEM/DMA inflation) **beats the dense grouped
-packed kernel at the BASELINE multistate shape**: 2.20-2.26 ms vs
-2.43-2.60 ms per layer-attention (bs8, 816 rows, 12 heads; 1.09-1.19×
-across cluster distributions, exact break-even when one cluster owns
-everything), ≈3% end-to-end (35.8 vs 36.7 ms/batch).  At 3136 tokens
-(448 px) it compiles and runs but LOSES to the flash fallback (250 vs
-218 ms/batch e2e) — the dense-MXU-rows design pays full score dots
-while flash's online accumulation is better adapted there.  Default
-OFF: the e2e win is modest, training would pay the XLA-recompute
-backward, and the production multistate serving path is int8.
+to 8 sublanes, 2.67× VMEM/DMA inflation) reaches **parity with the
+dense grouped packed kernel at the BASELINE multistate shape within
+chip-state variance**: across four same-process race sessions the
+per-layer-attention ratio ranged 0.75-1.27× (2.2-3.0 ms vs 2.2-2.8 ms;
+model-level pairs 35.8 vs 36.7 and 36.4 vs 36.0 ms/batch) — the effect
+size is smaller than the documented run-to-run drift, so no speed claim
+either way.  At 3136 tokens (448 px) it compiles and runs but LOSES to
+the flash fallback (250 vs 218 ms/batch e2e) — the dense-MXU-rows
+design pays full score dots while flash's online accumulation is
+better adapted there.  Chunk-level pl.when gating of whole dead chunks
+was raced separately and lost at both scales (scratch-accumulator
+round-trips exceed the skipped work).  Default OFF; the structural
+benefits stand regardless: no [S,S] mask in any memory space and
+VMEM-bounded at any sequence length.
 """
 
 from __future__ import annotations
@@ -159,11 +163,15 @@ def _banded_kernel(
         # probability scratch regardless of N (the no-max softmax makes
         # chunk contributions a plain sum — no online rescale), and K/V
         # are sliced per chunk from the ref so whole-K values never
-        # materialize.  One chunk at the BASELINE shape.
-        l = jnp.zeros((_BQ, 1), jnp.float32)
-        o = jnp.zeros((_BQ, dh), jnp.float32)
-        for c0 in range(0, n_qblocks, _CK // _BK):
-            c1 = min(c0 + _CK // _BK, n_qblocks)
+        # materialize.  One chunk at the BASELINE shape.  Chunk-level
+        # pl.when gating (skip whole dead chunks into scratch
+        # accumulators) was chip-raced and LOST at both 224 (overhead on
+        # the lone chunk) and 448 (275 vs 250 ms e2e — the skewed bands
+        # cover most of the row, so little is skipped and the scratch
+        # round-trips are pure cost); chunks always run, only the
+        # per-tile VPU chain is predicated.
+
+        def do_chunk(c0, c1, acc):
             ck_len = (c1 - c0) * _BK
             rows = slice(c0 * _BK, c1 * _BK)
             k_c = k_ref[0, rows, lanes]  # [ck_len, dh]
@@ -177,7 +185,7 @@ def _banded_kernel(
                 live = (kb >= kmin) & (kb <= kmax)
 
                 @pl.when(live)
-                def _(tile=tile, kb=kb):
+                def _(tile=tile, kb=kb, s=s):
                     ckid = cidk_ref[0, :, kb * _BK : (kb + 1) * _BK]
                     p_ref[:, tile] = jnp.where(
                         cq == ckid,
@@ -190,15 +198,25 @@ def _banded_kernel(
                     p_ref[:, tile] = jnp.zeros((_BQ, _BK), p_ref.dtype)
 
             pb = p_ref[:, :ck_len]
-            l = l + jax.lax.dot_general(
+            lc = jax.lax.dot_general(
                 pb, jnp.ones((ck_len, 1), pb.dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            o = o + jax.lax.dot_general(
+            oc = jax.lax.dot_general(
                 pb, v_c, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            return acc[0] + oc, acc[1] + lc
+
+        acc = (
+            jnp.zeros((_BQ, dh), jnp.float32),
+            jnp.zeros((_BQ, 1), jnp.float32),
+        )
+        for c0 in range(0, n_qblocks, _CK // _BK):
+            c1 = min(c0 + _CK // _BK, n_qblocks)
+            acc = do_chunk(c0, c1, acc)
+        o, l = acc
         # the one off-band key: this cluster's RX token (prefix row
         # 2·cid+1).  One [BQ, 2C] dot + a one-hot column mask.
         sp = jax.lax.dot_general(

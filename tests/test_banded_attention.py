@@ -82,6 +82,23 @@ def test_token_rows_multiblock_band():
     )
 
 
+def test_token_rows_multichunk_gating():
+    """N > 1024 exercises the multi-chunk path: whole dead key chunks
+    are pl.when-skipped and contributions accumulate in scratch."""
+    heads, dh, c = 2, 8, 4
+    d = heads * dh
+    n = 1200  # n_pad 1280 → 10 key blocks → 2 chunks
+    qkv = jax.random.normal(
+        jax.random.PRNGKey(6), (1, 2 * c + n, 3 * d), jnp.float32
+    )
+    cid = jnp.asarray(_sorted_cid([500, 400, 200, 100], n))[None]
+    got = _token_rows_banded(qkv, cid, heads, c)
+    want = _token_rows_xla(qkv, cid, heads, c)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )
+
+
 def test_full_op_matches_dense_soft_mask():
     qkv, cid, c, heads = _rand_case(jax.random.PRNGKey(1))
     b, s, d3 = qkv.shape
