@@ -95,6 +95,13 @@ def test_transfer_equals_hf_import_path():
     )
     assert bool(jnp.isfinite(out["last_hidden_state"]).all())
 
+    # regression: TX/RX must be DISTINCT buffers — both bootstrap paths
+    # once aliased one array into both slots, which a donating train
+    # step rejects (double donation, INVALID_ARGUMENT on TPU)
+    for tree in (got, want):
+        bb = tree["backbone"]
+        assert bb["transmitter_token"] is not bb["receiver_token"]
+
 
 def test_transfer_interpolates_position_table():
     """Base trained at 32px/patch8 (4×4 grid), multistate at 64px/patch8
