@@ -25,7 +25,8 @@ from msvit_tpu.models.multistate import (
 
 def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
           shared_anchors: bool = False, anchors_per_parent: int = 256,
-          banded: bool = False, image_size: int = 224, batch: int = 8):
+          banded: bool = False, image_size: int = 224, batch: int = 8,
+          late_num_sample: int = 0):
     cfg = MultiStateViTConfig(
         patch_size=8,
         image_size=image_size,
@@ -40,6 +41,7 @@ def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
             eig_method=eig_method,
             shared_anchors=shared_anchors,
             anchors_per_parent=anchors_per_parent,
+            late_num_sample=late_num_sample,
         ),
         banded_attention=banded,
     )
@@ -63,6 +65,8 @@ def bench(num_sample: int, eig_method: str = "subspace", iters: int = 20,
         lambda i: fwd(params, pix, float(i + 1), keys[i]), iters=iters
     )
     tag = f"shared/{anchors_per_parent}" if shared_anchors else eig_method
+    if late_num_sample:
+        tag += f"+late{late_num_sample}"
     if banded:
         tag += "+banded"
     if image_size != 224:
@@ -94,4 +98,8 @@ if __name__ == "__main__":
                   anchors_per_parent=int(mc or 256), banded=banded,
                   image_size=size)
         else:
-            bench(int(c), banded=banded, image_size=size)
+            # M[+lateL] e.g. 1024+late256 (per-parent anchors, smaller
+            # budget for clustering calls after the first split)
+            ns, _, late = c.partition("+late")
+            bench(int(ns), banded=banded, image_size=size,
+                  late_num_sample=int(late) if late else 0)

@@ -23,6 +23,7 @@ from msvit_tpu.models.clustering.module import (  # noqa: F401
     axis_align_cluster,
     cluster,
     fps_cluster,
+    max_children_bound,
     spectral_cluster,
     spectral_debug_labels,
 )

@@ -79,6 +79,16 @@ class SpectralClusteringConfig(ClusteringConfig):
     # ops/ncut.py::ncut_shared.
     shared_anchors: bool = False
     anchors_per_parent: int = 256
+    # Per-parent anchor budget for clustering calls that can see MORE than
+    # one parent (`max_parents > 1`, i.e. every call after the first
+    # split).  0 = use `num_sample` everywhere.  Later calls have many
+    # small parents, so a 1024-anchor budget is mostly zero padding; a
+    # smaller budget is EXACT whenever a parent owns ≤ late_num_sample
+    # member tokens (all members still become anchors — only the padding
+    # shrinks), and otherwise is the same Nyström-subsample deviation
+    # class as `num_sample` itself (the reference samples
+    # min(10000, members), `modeling_spectral.py:54-69`).
+    late_num_sample: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,6 +130,7 @@ def _spectral_single(
     flat_parent: jnp.ndarray,  # [M] int
     flat_x: jnp.ndarray,  # [M, D]
     key: jax.Array,
+    max_parents: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Core per-parent NCut→threshold→KMeans over one token set; returns
     (child ids [M], n_children [C_max]).
@@ -132,15 +143,31 @@ def _spectral_single(
     KMeans.  The only genuinely sequential piece of the reference
     semantics, the child-count budget clamp (each parent's child count is
     clipped to the slots still free), is a scalar `lax.scan` over C.
+
+    `max_parents` is a STATIC upper bound on the number of distinct parent
+    ids present (ids must be < max_parents); the per-parent axis of every
+    batched stage shrinks from `max_clusters` to this bound.  EXACT: the
+    per-parent rng keys are sliced from the same `2·C_max` split, and
+    parent slots beyond the actual ids are empty today (zero affinity,
+    zero child count, no tokens) — so results are identical to the
+    unbounded call whenever the bound holds.  The multistate backbone
+    threads the bound statically: the first clustering call always sees
+    exactly 1 parent, the second at most `ncut_dim` (each parent yields
+    ≤ ncut_dim children), etc.
     """
     c_max = config.max_clusters
+    c_bound = c_max if max_parents is None else max(1, min(max_parents, c_max))
     flat_x = flat_x.astype(jnp.float32)
     n_tokens = flat_x.shape[0]
 
-    member = flat_parent[None, :] == jnp.arange(c_max)[:, None]  # [C, M]
-    has = jnp.any(member, axis=1)  # [C]
+    member = flat_parent[None, :] == jnp.arange(c_bound)[:, None]  # [Cb, M]
+    has = jnp.any(member, axis=1)  # [Cb]
     keys = jax.random.split(key, 2 * c_max)
-    k_ncut, k_km = keys[:c_max], keys[c_max:]
+    k_ncut, k_km = keys[:c_bound], keys[c_max : c_max + c_bound]
+
+    num_sample = config.num_sample
+    if c_bound > 1 and config.late_num_sample:
+        num_sample = config.late_num_sample
 
     if config.shared_anchors:
         vecs, vals = ncut_shared(
@@ -148,7 +175,7 @@ def _spectral_single(
             num_eig=config.ncut_dim,
             key=k_ncut[0],
             member=member,
-            num_sample=config.num_sample,
+            num_sample=num_sample,
             anchors_per_parent=config.anchors_per_parent,
             distance=config.ncut_dist,
             gamma=config.affinity_focal_gamma,
@@ -162,7 +189,7 @@ def _spectral_single(
                 flat_x,
                 num_eig=config.ncut_dim,
                 key=k,
-                num_sample=config.num_sample,
+                num_sample=num_sample,
                 distance=config.ncut_dist,
                 gamma=config.affinity_focal_gamma,
                 mask=m,
@@ -207,6 +234,9 @@ def _spectral_single(
     result = jnp.sum(
         jnp.where(member, cums[:, None] + labels, 0), axis=0
     ).astype(jnp.int32)
+    # n_children stays [C_max] regardless of the bound (downstream shapes
+    # are static); slots beyond the bound are empty by construction
+    n_children = jnp.pad(n_children, (0, c_max - c_bound))
     return jnp.clip(result, 0, c_max - 1), n_children
 
 
@@ -215,11 +245,14 @@ def spectral_cluster(
     parent_indices: jnp.ndarray,  # [B, N] int
     x: jnp.ndarray,  # [B, N, D]
     key: jax.Array,
+    max_parents: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference `SpectralClustering.forward` (`modeling_spectral.py:72-94`)
     with static shapes.  Returns (child_indices [B,N], n_children) where
     n_children is [C_max] in pooled mode (reference semantics) or [B,C_max]
-    in per-image mode (config.pool_batch=False)."""
+    in per-image mode (config.pool_batch=False).  `max_parents` is an
+    optional STATIC bound on the distinct parent ids present — see
+    `_spectral_single` (exact, shrinks the padded per-parent axis)."""
     b, n = parent_indices.shape
     if config.pool_batch:
         result, n_children = _spectral_single(
@@ -227,12 +260,15 @@ def spectral_cluster(
             parent_indices.reshape(b * n),
             x.reshape(b * n, -1),
             key,
+            max_parents=max_parents,
         )
         return result.reshape(b, n), n_children
     keys = jax.random.split(key, b)
-    return jax.vmap(lambda pi, xi, ki: _spectral_single(config, pi, xi, ki))(
-        parent_indices, x, keys
-    )
+    return jax.vmap(
+        lambda pi, xi, ki: _spectral_single(
+            config, pi, xi, ki, max_parents=max_parents
+        )
+    )(parent_indices, x, keys)
 
 
 def _parent_majority(
@@ -270,6 +306,7 @@ def fps_cluster(
     parent_indices: jnp.ndarray,
     x: jnp.ndarray,
     key: jax.Array,
+    max_parents: Optional[int] = None,  # unused: fps clusters globally
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference `FPSClustering.forward` intent (`modeling_fps.py:28-60`):
     NCut-embed all tokens → PCA → FPS s1 candidates → cosine-similarity
@@ -333,6 +370,7 @@ def axis_align_cluster(
     parent_indices: jnp.ndarray,
     x: jnp.ndarray,
     key: jax.Array,
+    max_parents: Optional[int] = None,  # unused: axis-align is global
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference `AxisAlignClustering.forward` (`modeling_axisalign.py:23-37`,
     unfinished upstream — it builds a gumbel one-hot over NCut axes and a
@@ -373,15 +411,38 @@ CLUSTERING_CLASSES = {
 }
 
 
+def max_children_bound(config: ClusteringConfig, max_parents: int) -> int:
+    """Static upper bound on the total number of child clusters one
+    clustering call can produce when at most `max_parents` distinct parent
+    ids are present.  Lets the multistate backbone thread a growing static
+    bound through its clustering calls (1 parent at the first call,
+    ≤ bound(1) at the second, …) so each call's padded per-parent axis is
+    as narrow as provably safe."""
+    c = config.max_clusters
+    if config.model_type == "spectral":
+        # each parent yields ≤ ncut_dim children (child count = #eigvals
+        # above threshold out of ncut_dim, clamped ≥1 — module above)
+        return min(max_parents * config.ncut_dim, c)
+    if config.model_type == "fps":
+        return min(config.fps_sample2, c)  # global argmax over s2 centers
+    if config.model_type == "axis":
+        return min(config.ncut_dim, c)  # global argmax over NCut axes
+    return c
+
+
 def cluster(
     config: ClusteringConfig,
     parent_indices: jnp.ndarray,
     x: jnp.ndarray,
     key: jax.Array,
+    max_parents: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch by config.model_type (reference `CLUSTERING_CLASSES`,
-    `clustering/__init__.py:7-10`)."""
-    return CLUSTERING_CLASSES[config.model_type](config, parent_indices, x, key)
+    `clustering/__init__.py:7-10`).  `max_parents` optionally bounds the
+    distinct parent ids statically (see `_spectral_single`)."""
+    return CLUSTERING_CLASSES[config.model_type](
+        config, parent_indices, x, key, max_parents=max_parents
+    )
 
 
 def spectral_debug_labels(

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from msvit_tpu.models.base.model import BaseViTLayer, trunc_normal_init
 from msvit_tpu.models.base.vit import ViTEmbeddings
-from msvit_tpu.models.clustering import cluster
+from msvit_tpu.models.clustering import cluster, max_children_bound
 from msvit_tpu.models.multistate.config import MultiStateViTConfig
 
 
@@ -144,6 +144,11 @@ class MultiStateViTEncoderBackbone(nn.Module):
         }
 
         rx_to_tx = None
+        # static bound on distinct parent ids at each clustering call:
+        # 1 at the first (all tokens in cluster 0), then ≤ bound(prev)
+        # children — lets the clustering module shrink its padded
+        # per-parent axis without any semantics change
+        parents_bound = 1
         for i in range(cfg.num_hidden_layers):
             if (
                 i >= cfg.pregeneration_period
@@ -160,6 +165,10 @@ class MultiStateViTEncoderBackbone(nn.Module):
                     unsort(cluster_indices, inv_order),
                     jax.lax.stop_gradient(h_orig.astype(jnp.float32)),
                     step_key,
+                    max_parents=parents_bound,
+                )
+                parents_bound = max_children_bound(
+                    cfg.clustering, parents_bound
                 )
                 # duplicate parent TX/RX pairs onto their children via
                 # cumsum + searchsorted (reference `:494-502`).  n_children

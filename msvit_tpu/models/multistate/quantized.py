@@ -32,7 +32,7 @@ from msvit_tpu.models.base.quantized import (
     quantize_layer_params,
 )
 from msvit_tpu.models.base.vit import interpolate_pos_embed
-from msvit_tpu.models.clustering import cluster
+from msvit_tpu.models.clustering import cluster, max_children_bound
 from msvit_tpu.models.multistate.config import MultiStateViTConfig
 from msvit_tpu.models.multistate.model import build_multistate_attention_mask
 from msvit_tpu.ops.attention import xla_attention
@@ -178,6 +178,8 @@ def quantized_multistate_apply(
     )
 
     rx_to_tx = None
+    # static per-call parent bound (see models/multistate/model.py)
+    parents_bound = 1
     for i in range(cfg.num_hidden_layers):
         if i >= cfg.pregeneration_period and i % cfg.generation_period == 0:
             rng, step_key = jax.random.split(rng)
@@ -187,7 +189,9 @@ def quantized_multistate_apply(
                 unsort(cluster_indices, inv_order),
                 jax.lax.stop_gradient(h_orig.astype(jnp.float32)),
                 step_key,
+                max_parents=parents_bound,
             )
+            parents_bound = max_children_bound(cfg.clustering, parents_bound)
             # TX/RX duplication via cumsum + searchsorted
             # (models/multistate/model.py, reference `:494-502`)
             cum = jnp.cumsum(n_children, axis=-1)
