@@ -7,7 +7,10 @@ quantized trunk (calibrated static act scales + head-grouped masked int8
 attention kernel) against the production bf16 model at the BASELINE bs8
 config and at a serving-scale bs32.
 
-Usage: python benchmarks/bench_multistate_int8.py [bs ...]  (default 8 32)
+Usage: python benchmarks/bench_multistate_int8.py [--clust=shared|lateN]
+       [bs ...]  (default --clust=shared 8 32).  --clust=late256 uses the
+       reference-faithful per-parent anchors with the post-split budget
+       (module.py late_num_sample) instead of the shared pool.
 """
 
 import os
@@ -30,7 +33,13 @@ from msvit_tpu.models.multistate import (
 )
 
 
-def make_cfg():
+def make_cfg(clust: str = "shared"):
+    if clust == "shared":
+        extra = dict(shared_anchors=True, anchors_per_parent=256)
+    elif clust.startswith("late"):
+        extra = dict(late_num_sample=int(clust[len("late"):]))
+    else:
+        raise SystemExit(f"unknown --clust mode {clust!r}")
     return MultiStateViTConfig(
         patch_size=8,
         image_size=224,
@@ -43,14 +52,13 @@ def make_cfg():
             eigenvalue_threshold=0.1,
             ncut_dist="rbf",
             eig_method="subspace",
-            shared_anchors=True,
-            anchors_per_parent=256,
+            **extra,
         ),
     )
 
 
-def bench(bs: int, iters: int = 20):
-    cfg = make_cfg()
+def bench(bs: int, iters: int = 20, clust: str = "shared"):
+    cfg = make_cfg(clust)
     model = MultiStateViTEncoderModel(cfg)
     rng = jax.random.PRNGKey(1212)
     pix = jax.random.normal(rng, (bs, 224, 224, 3), jnp.float32)
@@ -112,5 +120,11 @@ def bench(bs: int, iters: int = 20):
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
-    for bs in [int(a) for a in (sys.argv[1:] or ["8", "32"])]:
-        bench(bs)
+    argv = sys.argv[1:]
+    clust = "shared"
+    if argv and argv[0].startswith("--clust="):
+        clust = argv[0][len("--clust="):]
+        argv = argv[1:]
+    print("clustering:", clust)
+    for bs in [int(a) for a in (argv or ["8", "32"])]:
+        bench(bs, clust=clust)
