@@ -41,14 +41,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def _build_fwd(mode: str, batch_size: int):
-    """Returns (fwd(x, i) -> 0-d array, pix [batch_size, 224, 224, 3])."""
+    """Returns (fwd(x, i) -> 0-d array, pix [batch_size, H, W, 3])."""
     from msvit_tpu.models.base import BaseViTConfig, ViTModel
 
     act = os.environ.get("MSVIT_BENCH_ACT", "gelu")
-    cfg = BaseViTConfig(hidden_act=act)  # ViT-B/16 @224
+    name = os.environ.get("MSVIT_BENCH_MODEL", "")
+    if name:  # any trunk from the zoo, e.g. vit-l16 (scaling runs)
+        from msvit_tpu.zoo import build_config
+
+        cfg = build_config(name, hidden_act=act)
+    else:
+        cfg = BaseViTConfig(hidden_act=act)  # ViT-B/16 @224
     model = ViTModel(cfg)
     rng = jax.random.PRNGKey(0)
-    pix = jax.random.normal(rng, (batch_size, 224, 224, 3), dtype=jnp.float32)
+    pix = jax.random.normal(
+        rng, (batch_size, cfg.image_size, cfg.image_size, 3), dtype=jnp.float32
+    )
     variables = jax.jit(model.init)({"params": rng}, pix[:1])
 
     if mode == "int8":
@@ -107,13 +115,20 @@ def _throughput(mode: str) -> None:
 
     value = statistics.median(rates)
     spread = (max(rates) - min(rates)) / value if value else 0.0
+    name = os.environ.get("MSVIT_BENCH_MODEL", "")
+    metric = (
+        f"{name.replace('-', '_')}_inference_throughput"
+        if name
+        else "vit_b16_224_inference_throughput"
+    )
     print(
         json.dumps(
             {
-                "metric": "vit_b16_224_inference_throughput",
+                "metric": metric,
                 "value": round(value, 1),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(value / 5000.0, 4),
+                # the 5,000 img/s north star is defined for ViT-B/16 @224
+                "vs_baseline": None if name else round(value / 5000.0, 4),
                 "spread": round(spread, 4),
                 "repeats": repeats,
             }
