@@ -10,6 +10,14 @@ Modes (MSVIT_BENCH):
   latency         — bs=1 p50/p95 per-image encode latency, int8 path
   latency_bf16    — same, bf16 path
 
+After the headline line (always FIRST and unchanged in format), the
+default run also emits one JSON line per encoder family — multistate
+int8 serving, subsample forward, predictive train step, saccadic
+batched runner — so family regressions are visible round-over-round in
+the driver artifact (VERDICT r3 item 2).  MSVIT_BENCH_FAMILIES=0
+disables them; they are skipped automatically in latency modes and for
+zoo-model (MSVIT_BENCH_MODEL) runs.
+
 Protocol: MSVIT_BENCH_REPEATS (default 5) independent timed blocks; the
 reported value is the MEDIAN and "spread" is (max−min)/median, because
 chip state varies run-to-run by up to ~1.4× (benchmarks/RESULTS.md).
@@ -46,10 +54,18 @@ def _build_fwd(mode: str, batch_size: int):
 
     act = os.environ.get("MSVIT_BENCH_ACT", "gelu")
     name = os.environ.get("MSVIT_BENCH_MODEL", "")
-    if name:  # any trunk from the zoo, e.g. vit-l16 (scaling runs)
+    if name:  # any BASE trunk from the zoo, e.g. vit-l16 (scaling runs)
         from msvit_tpu.zoo import build_config
 
         cfg = build_config(name, hidden_act=act)
+        if type(cfg) is not BaseViTConfig:
+            # family entries (multistate-sandbox, ...) would silently run
+            # a plain trunk at that geometry under a family-named metric
+            raise SystemExit(
+                f"MSVIT_BENCH_MODEL={name!r} is a family config "
+                f"({type(cfg).__name__}); this knob runs base trunks only "
+                "— family numbers come from the dedicated family lines"
+            )
     else:
         cfg = BaseViTConfig(hidden_act=act)  # ViT-B/16 @224
     model = ViTModel(cfg)
@@ -67,7 +83,12 @@ def _build_fwd(mode: str, batch_size: int):
         )
 
         qparams = quantize_vit_params(variables["params"])
-        calib = jax.random.normal(rng, (64, 224, 224, 3), dtype=jnp.float32)
+        # calibration batch at the BENCH geometry (zoo trunks may use
+        # image_size != 224; pos-embed interpolation would silently
+        # accept a 224 batch and calibrate at the wrong token count)
+        calib = jax.random.normal(
+            rng, (64, cfg.image_size, cfg.image_size, 3), dtype=jnp.float32
+        )
         scales = jax.jit(lambda q, x: calibrate_act_scales(q, cfg, x))(
             qparams, calib
         )
@@ -185,10 +206,12 @@ def _latency(mode: str) -> None:
     def pct(p: float) -> float:
         return lats[min(len(lats) - 1, int(p * len(lats)))]
 
+    name = os.environ.get("MSVIT_BENCH_MODEL", "")
+    stem = name.replace("-", "_") if name else "vit_b16_224"
     print(
         json.dumps(
             {
-                "metric": f"vit_b16_224_p50_encode_latency_{mode}",
+                "metric": f"{stem}_p50_encode_latency_{mode}",
                 "value": round(p50_dev * 1e3, 3),
                 "unit": "ms/image (bs=1, device, queued)",
                 "vs_baseline": None,
@@ -201,12 +224,267 @@ def _latency(mode: str) -> None:
     )
 
 
+def _queued(fn, iters: int, warmup: int = 2) -> float:
+    """fn(i) -> 0-d array; seconds/iter, queued-async with one final sync
+    (benchmarks/_timing.py methodology — per-call sync costs ~28 ms RTT)."""
+    for i in range(warmup):
+        float(fn(-1 - i))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        s = fn(i)
+    float(s)
+    return (time.perf_counter() - t0) / iters
+
+
+def _bench_multistate() -> dict:
+    """Multistate serving: int8 trunk + reference-faithful late256
+    clustering at the BASELINE bs8 config (benchmarks/RESULTS.md "int8
+    multistate trunk"; reference hot loop modeling_msvitencoder.py:469-552)."""
+    from msvit_tpu.models.clustering import SpectralClusteringConfig
+    from msvit_tpu.models.multistate import (
+        MultiStateViTConfig,
+        MultiStateViTEncoderModel,
+        calibrate_multistate_act_scales,
+        quantize_multistate_params,
+        quantized_multistate_apply,
+    )
+
+    bs = 8
+    cfg = MultiStateViTConfig(
+        patch_size=8,
+        image_size=224,
+        pregeneration_period=4,
+        generation_period=2,
+        clustering=SpectralClusteringConfig(
+            ncut_dim=8,
+            num_sample=1024,
+            max_clusters=16,
+            eigenvalue_threshold=0.1,
+            ncut_dist="rbf",
+            eig_method="subspace",
+            late_num_sample=256,
+        ),
+    )
+    model = MultiStateViTEncoderModel(cfg)
+    rng = jax.random.PRNGKey(1212)
+    pix = jax.random.normal(rng, (bs, 224, 224, 3), jnp.float32)
+    params = jax.jit(model.init)({"params": rng, "clustering": rng}, pix[:1])
+    qp = quantize_multistate_params(params["params"])
+    scales = jax.device_get(
+        calibrate_multistate_act_scales(qp, cfg, pix, jax.random.PRNGKey(0))
+    )
+
+    @jax.jit
+    def fwd(qp_, x, i, key):
+        out = quantized_multistate_apply(
+            qp_, cfg, x + i * 1e-6, key, act_scales=scales
+        )
+        return jnp.sum(out["last_hidden_state"].astype(jnp.float32))
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    dt = _queued(lambda i: fwd(qp, pix, float(i + 1), keys[i]), iters=20)
+    return {
+        "metric": "multistate_int8_late256_serving_throughput",
+        "value": round(bs / dt, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "ms_per_batch8": round(dt * 1e3, 2),
+    }
+
+
+def _bench_subsample() -> dict:
+    """Subsample coarse-to-fine forward at the sandbox config (bs32, 6
+    layers, grid 4->x2, depth 1, open mode; sandbox/subsample_vit.py:52-90)."""
+    from msvit_tpu.models.subsample import SubsampleViTConfig, SubsampleViTModel
+
+    bs = 32
+    cfg = SubsampleViTConfig(
+        num_hidden_layers=6,
+        image_size=224,
+        patch_size=16,
+        initial_grid_size=4,
+        multiplicative_grid_size=2,
+        max_depth=1,
+        nesting_mode="open",
+    )
+    model = SubsampleViTModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    pix = jax.random.normal(rng, (bs, 224, 224, 3), jnp.float32)
+    params = jax.jit(model.init)({"params": rng, "policy": rng}, pix)
+
+    @jax.jit
+    def fwd(p, x, i, key):
+        out = model.apply(p, x + i * 1e-6, rngs={"policy": key})
+        return jnp.sum(out["last_hidden_state"].astype(jnp.float32)) + jnp.sum(
+            out["log_prob"]
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    dt = _queued(lambda i: fwd(params, pix, float(i + 1), keys[i]), iters=20)
+    return {
+        "metric": "subsample_bs32_open_forward_throughput",
+        "value": round(bs / dt, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "ms_per_batch": round(dt * 1e3, 2),
+    }
+
+
+def _bench_predictive_train() -> dict:
+    """Predictive full training step at the sandbox config (bs64, 64px
+    scaling glimpses, losses {ctx_patch 1e-4, query_patch 1.0, pos_reg 0.5},
+    AdamW 2e-3; sandbox/predictive.py:48-137)."""
+    import optax
+
+    from msvit_tpu.models.predictive import (
+        PredictiveViTConfig,
+        PredictiveViTModel,
+        PredictiveViTTrainingConfig,
+        training_loss,
+    )
+
+    bs = 64
+    cfg = PredictiveViTConfig(
+        use_cls_token=False,
+        patch_config="scaling",
+        default_patch_scale=0.4,
+        patch_config_scale=((1.0, 0.0), (1.0, 0.0), (1.0, -1.0)),
+        patch_size=64,
+        expected_context_length=2.0,
+        max_context_length=6,
+    )
+    model = PredictiveViTModel(cfg)
+    tc = PredictiveViTTrainingConfig(
+        context_patch_prediction=1e-4,
+        query_patch_prediction=1.0,
+        positional_regularization=0.5,
+    )
+    rng = jax.random.PRNGKey(1212)
+    pix = jax.random.normal(rng, (bs, 224, 224, 3), jnp.float32)
+    variables = jax.jit(model.init)({"params": rng, "glimpse": rng}, pix[:2])
+    opt = optax.adamw(2e-3)
+    opt_state = jax.jit(opt.init)(variables)
+
+    @jax.jit
+    def step(v, s, x, key):
+        def loss_fn(v):
+            out = model.apply(v, x, rngs={"glimpse": key}, output_inputs=True)
+            err, _, _ = training_loss(model, v, x, out, tc)
+            return jnp.mean(err)
+
+        loss, grads = jax.value_and_grad(loss_fn)(v)
+        updates, s = opt.update(grads, s, v)
+        return optax.apply_updates(v, updates), s, loss
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+
+    def f(i):
+        _, _, loss = step(variables, opt_state, pix + i * 1e-6, keys[i])
+        return loss
+
+    dt = _queued(f, iters=8)
+    return {
+        "metric": "predictive_train_step_bs64_throughput",
+        "value": round(bs / dt, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "ms_per_step": round(dt * 1e3, 2),
+    }
+
+
+def _bench_saccadic() -> dict:
+    """Saccadic batched lockstep runner: 16 images x 10 glimpses, beam 64,
+    rank-64 covariances, Cholesky-Woodbury matcher (BASELINE.md "saccadic
+    multi-glimpse inference"; benchmarks/bench_saccadic.py)."""
+    from msvit_tpu.models.saccadic import (
+        SaccadicViTConfig,
+        SaccadicViTMultiStatePattern,
+    )
+    from msvit_tpu.models.saccadic.batched import batched_saccade_run
+    from msvit_tpu.models.saccadic.embeddings import SaccadicViTEmbeddings
+
+    B, steps = 16, 10
+    cfg = SaccadicViTConfig(
+        hidden_size=768,
+        num_hidden_layers=12,
+        num_attention_heads=12,
+        num_patterns=((2, 512),),
+        covariance_dim=64,
+        beam_size=64,
+        image_size=448,
+        patch_size=128,
+        patch_config="translation",
+        pe_bias=True,
+        matcher_solver="chol",
+    )
+    rng = jax.random.PRNGKey(0)
+    pix = jax.random.normal(rng, (B, 448, 448, 3), jnp.float32)
+    embeddings = SaccadicViTEmbeddings(cfg)
+    pattern = SaccadicViTMultiStatePattern(cfg)
+    k_e, k_p = jax.random.split(rng)
+    emb_vars = embeddings.init(k_e, pix, jnp.zeros((B, cfg.dof)))
+    pat_vars = pattern.init(
+        k_p,
+        jnp.zeros((B, 1, cfg.hidden_size)),
+        jnp.zeros((B, steps, cfg.hidden_size)),
+        1,
+    )
+    variables = jax.device_put({"embeddings": emb_vars, "pattern": pat_vars})
+
+    @jax.jit
+    def run(v, px):
+        trace = batched_saccade_run(cfg, v, px, num_steps=steps)
+        return (
+            jnp.sum(trace["embeddings"].astype(jnp.float32))
+            + jnp.sum(trace["predicted"].astype(jnp.float32))
+            + jnp.sum(trace["num_saccades"])
+        )
+
+    dt = _queued(lambda i: run(variables, pix + i * 1e-3), iters=10)
+    return {
+        "metric": "saccadic_batched_16x10_run",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/run (16 imgs x 10 glimpses)",
+        "vs_baseline": None,
+    }
+
+
+def _family_lines() -> None:
+    """One JSON line per encoder family (errors become visible JSON lines
+    rather than killing the already-printed headline)."""
+    for fn in (
+        _bench_multistate,
+        _bench_subsample,
+        _bench_predictive_train,
+        _bench_saccadic,
+    ):
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # pragma: no cover - chip-env dependent
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{fn.__name__.lstrip('_')}_ERROR",
+                        "value": None,
+                        "unit": "error",
+                        "vs_baseline": None,
+                        "error": str(e).split("\n")[0][:200],
+                    }
+                ),
+                flush=True,
+            )
+
+
 def main() -> None:
     mode = os.environ.get("MSVIT_BENCH", "int8")
     if mode.startswith("latency"):
         _latency("bf16" if mode.endswith("bf16") else "int8")
-    else:
-        _throughput(mode)
+        return
+    _throughput(mode)
+    if os.environ.get("MSVIT_BENCH_FAMILIES", "1") != "0" and not os.environ.get(
+        "MSVIT_BENCH_MODEL"
+    ):
+        _family_lines()
 
 
 if __name__ == "__main__":

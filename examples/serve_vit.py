@@ -93,11 +93,24 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument(
+        "--small-bucket-max", type=int, default=2,
+        help="int8 mode routes buckets <= this to a bf16 program "
+        "(int8 bs=1 latency is session-unstable; RESULTS.md p50 section). "
+        "0 disables the routing.",
+    )
     args = ap.parse_args()
 
     from msvit_tpu.serve import BatchingServer
 
     apply_fn = build_apply(args.mode)
+    # dtype routing: never serve tiny batches on the unstable int8 bs=1
+    # configuration — bf16 handles them at a stable 4.18 ms p50
+    small_fn = (
+        build_apply("bf16")
+        if args.mode == "int8" and args.small_bucket_max > 0
+        else None
+    )
     example = np.zeros((224, 224, 3), np.uint8)
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (32, 224, 224, 3), dtype=np.uint8)
@@ -105,6 +118,8 @@ def main() -> None:
     with BatchingServer(
         apply_fn, example, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
+        small_apply_fn=small_fn,
+        small_bucket_max=args.small_bucket_max if small_fn else 0,
     ) as srv:
         print(f"warming up {len(srv.buckets)} buckets {srv.buckets} ...")
         t0 = time.time()

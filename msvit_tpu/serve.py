@@ -56,8 +56,19 @@ class BatchingServer:
         max_batch: int = 32,
         max_wait_ms: float = 2.0,
         buckets: Optional[Sequence[int]] = None,
+        small_apply_fn: Optional[Callable[[np.ndarray], Any]] = None,
+        small_bucket_max: int = 0,
     ):
+        """`small_apply_fn`, when given, handles buckets of size
+        <= `small_bucket_max` instead of `apply_fn`.  Rationale: the int8
+        path's bs=1 latency is unstable on this chip (3.9 -> 5.5-6.0 ms
+        across sessions) while bf16's is stable at 4.18 ms
+        (benchmarks/RESULTS.md p50 section), so an int8 deployment should
+        route tiny batches to a bf16 program — `make_dtype_routed_server`
+        wires exactly that.  Output types must match across the two fns."""
         self.apply_fn = apply_fn
+        self.small_apply_fn = small_apply_fn
+        self.small_bucket_max = int(small_bucket_max)
         self.example_shape = tuple(example.shape)
         self.example_dtype = example.dtype
         if buckets is None:
@@ -105,7 +116,7 @@ class BatchingServer:
         output is an honest end-to-end fence on every backend."""
         for b in self.buckets:
             x = np.zeros((b,) + self.example_shape, self.example_dtype)
-            jax.device_get(self.apply_fn(x))
+            jax.device_get(self._fn_for_bucket(b)(x))
 
     def stats(self) -> dict:
         with self._lock:
@@ -143,6 +154,11 @@ class BatchingServer:
                 return b
         return self.max_batch
 
+    def _fn_for_bucket(self, b: int) -> Callable[[np.ndarray], Any]:
+        if self.small_apply_fn is not None and b <= self.small_bucket_max:
+            return self.small_apply_fn
+        return self.apply_fn
+
     def _collect(self) -> list:
         """Block for the first request, then coalesce up to max_batch for
         at most max_wait."""
@@ -173,7 +189,7 @@ class BatchingServer:
             for i, (_, x, _) in enumerate(items):
                 batch[i] = x
             try:
-                out = self.apply_fn(batch)  # async dispatch
+                out = self._fn_for_bucket(b)(batch)  # async dispatch
             except BaseException as e:  # trace/shape error: fail fast
                 for _, _, fut in items:
                     fut.set_exception(e)

@@ -74,41 +74,46 @@ def multiclass_logits(t: jnp.ndarray) -> jnp.ndarray:
     return logits - jnp.mean(logits, axis=-1, keepdims=True)
 
 
+def _mnpq(x_mn, y_pq):
+    """Outer broadcast [..., m, n] x [..., p, q] -> [..., m, n, p, q]."""
+    return x_mn[..., :, :, None, None] * y_pq[..., None, None, :, :]
+
+
 def hadamard_conjugation(a, b, alpha, beta, c):
     """Σ_{m,p} A[m,n] B[p,q] C[m,p] / (1 − α[m,n] β[p,q]) → [..., n, q].
 
-    Geometric-series sum used by the reference's analysis utilities
-    (`utils.py:189-198`).  Expressed with einsum-style broadcasting.
+    Geometric series Σ_k (α∘)^k A^T C B (β∘)^k summed in closed form —
+    the reference's analysis utility (`utils.py:189-198`), re-derived
+    here as a single einsum contraction over an explicit [m,n,p,q]
+    coefficient tensor (the coefficient couples all four indices, so the
+    rank-4 intermediate is intrinsic to the dense formulation).
     """
-    p_term = a[..., :, None, :, None] * b[..., None, :, None, :]
-    coeff = 1.0 / (1.0 - alpha[..., :, None, :, None] * beta[..., None, :, None, :])
-    return jnp.sum(p_term * coeff * c[..., None, None], axis=(-3, -4))
+    coeff = 1.0 / (1.0 - _mnpq(alpha, beta))
+    return jnp.einsum("...mn,...pq,...mp,...mnpq->...nq", a, b, c, coeff)
 
 
 def hadamard_conjugation_diff_order1(a, b, alpha, beta1, beta2, c):
-    """First-order difference variant (reference `utils.py:201-213`)."""
-    p_term = a[..., :, None, :, None] * b[..., None, :, None, :]
-    alpha_ = alpha[..., :, None, :, None]
-    b1 = beta1[..., None, :, None, :]
-    b2 = beta2[..., None, :, None, :]
-    coeff = alpha_ / ((1.0 - alpha_ * b1) * (1.0 - alpha_ * b2))
-    return jnp.sum(p_term * coeff * c[..., None, None], axis=(-3, -4))
+    """Difference quotient of `hadamard_conjugation` in β: closed form of
+    Σ over the α/(1−αβ₁)(1−αβ₂) kernel (reference `utils.py:201-213`)."""
+    coeff = alpha[..., :, :, None, None] / (
+        (1.0 - _mnpq(alpha, beta1)) * (1.0 - _mnpq(alpha, beta2))
+    )
+    return jnp.einsum("...mn,...pq,...mp,...mnpq->...nq", a, b, c, coeff)
 
 
 def hadamard_conjugation_diff_order2(b, beta1, beta2, c):
-    """Second-order difference variant (reference `utils.py:216-235`)."""
-    p_term = b[..., :, None, :, None] * b[..., None, :, None, :]
-    beta1_, _beta1 = beta1[..., :, None, :, None], beta1[..., None, :, None, :]
-    beta2_, _beta2 = beta2[..., :, None, :, None], beta2[..., None, :, None, :]
-    beta12 = beta1_ * _beta2
-    beta21 = jnp.swapaxes(jnp.swapaxes(beta12, -4, -3), -2, -1)
+    """Second-order difference variant (reference `utils.py:216-235`):
+    kernel (1 − β₁₂β₂₁) / (1−β₁β₁')(1−β₁₂)(1−β₂₁)(1−β₂β₂') where
+    β₁₂[m,n,p,q] = β₁[m,n]β₂[p,q] and β₂₁ is its (m↔p, n↔q) transpose."""
+    beta12 = _mnpq(beta1, beta2)
+    beta21 = _mnpq(beta2, beta1)
     coeff = (1.0 - beta12 * beta21) / (
-        (1.0 - beta1_ * _beta1)
+        (1.0 - _mnpq(beta1, beta1))
         * (1.0 - beta12)
         * (1.0 - beta21)
-        * (1.0 - beta2_ * _beta2)
+        * (1.0 - _mnpq(beta2, beta2))
     )
-    return jnp.sum(p_term * coeff * c[..., None, None], axis=(-3, -4))
+    return jnp.einsum("...mn,...pq,...mp,...mnpq->...nq", b, b, c, coeff)
 
 
 @jax.custom_vjp

@@ -81,3 +81,45 @@ def test_shape_mismatch_rejected_and_errors_propagate():
             fut.result(timeout=30)
     finally:
         srv.close()
+
+
+def test_small_bucket_dtype_routing():
+    """Buckets <= small_bucket_max go to small_apply_fn (the int8->bf16
+    bs=1 routing of VERDICT r3 item 6); larger buckets use apply_fn."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 4))
+    small_shapes, big_shapes = [], []
+
+    @jax.jit
+    def fwd(x):
+        return x @ w
+
+    def big(x):
+        big_shapes.append(x.shape)
+        return fwd(x)
+
+    def small(x):
+        small_shapes.append(x.shape)
+        return fwd(x)
+
+    xs = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (9, 8)), np.float32
+    )
+    with BatchingServer(
+        big, xs[0], max_batch=8, max_wait_ms=5.0,
+        small_apply_fn=small, small_bucket_max=2,
+    ) as srv:
+        srv.warmup()
+        # warmup compiled every bucket through its routed fn
+        assert {s[0] for s in small_shapes} == {1, 2}
+        assert {s[0] for s in big_shapes} == {4, 8}
+        small_shapes.clear(), big_shapes.clear()
+
+        # one isolated request -> bucket 1 -> small fn
+        got = srv.submit(xs[0]).result(timeout=30)
+        np.testing.assert_allclose(got, np.asarray(xs[:1] @ w)[0], rtol=1e-5)
+        assert all(s[0] <= 2 for s in small_shapes) and small_shapes
+        # a burst -> large bucket -> big fn
+        futs = [srv.submit(x) for x in xs[1:]]
+        res = np.stack([f.result(timeout=30) for f in futs])
+    np.testing.assert_allclose(res, np.asarray(xs[1:] @ w), rtol=1e-5)
+    assert any(s[0] >= 4 for s in big_shapes)
