@@ -23,3 +23,11 @@ from msvit_tpu.data.resumable import (  # noqa: F401
     ResumableLoader,
     feistel_permutation,
 )
+from msvit_tpu.data.synthetic import (  # noqa: F401
+    SHAPE_CLASSES,
+    corpus_batches,
+    generate_batch,
+    generate_scene,
+    load_corpus,
+    write_corpus,
+)

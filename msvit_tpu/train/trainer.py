@@ -133,7 +133,7 @@ class Trainer:
                     scalars = {
                         k: float(v)
                         for k, v in (aux or {}).items()
-                        if jnp.ndim(v) == 0
+                        if jnp.ndim(v) == 0 and k != "loss"  # logged already
                     }
                     self.metrics.log(self.step, loss=loss, **scalars)
             if self.ckpt:

@@ -1,0 +1,89 @@
+"""Procedural corpus (`data/synthetic.py`): determinism, label/mask
+consistency with the generative params, and the JPEG write→native-decode
+roundtrip the learning runs depend on (VERDICT r3 item 1)."""
+
+import numpy as np
+
+from msvit_tpu.data.synthetic import (
+    SHAPE_CLASSES,
+    corpus_batches,
+    generate_batch,
+    generate_scene,
+    load_corpus,
+    write_corpus,
+)
+
+
+def test_scene_deterministic_and_consistent():
+    a = generate_scene(123, size=96)
+    b = generate_scene(123, size=96)
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["regions"], b["regions"])
+    assert a["label"] == b["label"]
+    # label is the class of the largest *visible* region
+    ids = [i for i in np.unique(a["regions"]) if i > 0]
+    assert ids, "every scene has at least one object"
+    visible = {i: int((a["regions"] == i).sum()) for i in ids}
+    biggest = max(visible, key=visible.get)
+    assert a["label"] == SHAPE_CLASSES.index(
+        a["params"][biggest - 1]["shape"]
+    )
+    # region ids are dense 0..n_obj and each object drew some pixels
+    assert a["regions"].max() == len(a["params"])
+
+
+def test_different_seeds_differ():
+    a = generate_scene(1, size=64)
+    b = generate_scene(2, size=64)
+    assert (a["image"] != b["image"]).any()
+
+
+def test_write_load_roundtrip(tmp_path):
+    d = str(tmp_path / "corpus")
+    write_corpus(d, 6, seed=3, size=64)
+    data = load_corpus(d)
+    assert data["images"].shape == (6, 64, 64, 3)
+    assert data["images"].dtype == np.uint8
+    assert data["regions"].shape == (6, 64, 64)
+    assert data["num_classes"] == len(SHAPE_CLASSES)
+    # the decode path (native or PIL fallback) must agree with PIL, and
+    # JPEG loss stays bounded (high-frequency textures at 64px cost the
+    # most; masks/labels are exact by construction)
+    from PIL import Image
+
+    import os
+
+    errs = []
+    for i in range(6):
+        orig = generate_scene(3 * 1_000_003 + i, size=64)
+        pil = np.asarray(
+            Image.open(
+                os.path.join(d, "images", f"{i:06d}.jpg")
+            ).convert("RGB")
+        )
+        np.testing.assert_array_equal(data["images"][i], pil)
+        errs.append(
+            np.abs(
+                data["images"][i].astype(int) - orig["image"].astype(int)
+            ).mean()
+        )
+        assert data["labels"][i] == orig["label"]
+        np.testing.assert_array_equal(data["regions"][i], orig["regions"])
+    assert np.median(errs) < 8.0 and max(errs) < 40.0, errs
+    # limit loads a prefix
+    assert load_corpus(d, limit=2)["images"].shape[0] == 2
+
+
+def test_corpus_batches_stream():
+    data = generate_batch(range(10), size=32)
+    data = {
+        "images": data["images"],
+        "labels": data["labels"],
+        "regions": data["regions"],
+    }
+    it = corpus_batches(data, batch_size=4, seed=0, include_regions=True)
+    b1, b2, b3 = next(it), next(it), next(it)  # crosses an epoch boundary
+    for b in (b1, b2, b3):
+        assert b["pixel_values"].shape == (4, 32, 32, 3)
+        assert b["pixel_values"].min() >= -1.0 and b["pixel_values"].max() <= 1.0
+        assert b["regions"].shape == (4, 32, 32)
