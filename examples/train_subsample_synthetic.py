@@ -1,0 +1,281 @@
+"""Subsample REINFORCE at the reference's config, with a measurable
+policy — the learning-evidence run of VERDICT r3 item 1b.
+
+Reference anchor: `sandbox/subsample_vit.py:52-126` — 6-layer trunk,
+grid 4 → ×2, depth 1, bs32, AdamW(1e-3) on the subdivision policy ONLY,
+loss = batch-standardized CE × episode log-prob, on streamed ImageNet
+with a pretrained trunk.  Offline counterpart on the procedural corpus
+(`data/synthetic.py`), whose region masks make the policy's behavior
+*quantifiable*: a box is "object-relevant" if ≥`--obj-thresh` of its
+pixels belong to a foreground object, and the metric is the precision /
+recall of subdivision decisions against that ground truth.
+
+Phases (the pretrained-trunk stance, reproduced offline):
+  A. supervised warmup of trunk+head under the *sampled* (initially
+     random) policy — the stand-in for the reference's pretrained
+     Dinov2 trunk;
+  B. REINFORCE on the policy params only (reference semantics,
+     `reinforce_loss`), trunk/head frozen.
+
+Evaluation: held-out accuracy of (learned policy) vs (never-subdivide)
+vs (always-subdivide) controls — the controls are the same params with
+the policy bias forced to ∓20 — plus the subdivision/object alignment
+metrics over training, and a quadtree heat-map figure.
+
+    python examples/train_subsample_synthetic.py                    # full
+    python examples/train_subsample_synthetic.py --warmup 8 --steps 8  # smoke
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def box_object_fraction(regions: np.ndarray, grid: int) -> np.ndarray:
+    """[B, G*G] fraction of object (non-background) pixels per root box.
+    Root boxes tile the image in row-major (y, x) order, matching the
+    subsample model's initial grid."""
+    b, s, _ = regions.shape
+    cell = s // grid
+    r = regions[:, : cell * grid, : cell * grid]
+    r = r.reshape(b, grid, cell, grid, cell)
+    return (r > 0).mean(axis=(2, 4)).reshape(b, grid * grid)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warmup", type=int, default=600, help="phase A steps")
+    ap.add_argument("--steps", type=int, default=400, help="phase B steps")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--warmup-lr", type=float, default=3e-4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--corpus-size", type=int, default=2048)
+    ap.add_argument("--eval-size", type=int, default=512)
+    ap.add_argument("--obj-thresh", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="runs/synthetic")
+    args = ap.parse_args()
+
+    from msvit_tpu.data.synthetic import (
+        SHAPE_CLASSES,
+        corpus_batches,
+        ensure_corpus,
+        generate_batch,
+    )
+    from msvit_tpu.models.subsample import (
+        SubsampleViTConfig,
+        SubsampleViTForImageClassification,
+        reinforce_loss,
+    )
+    from msvit_tpu.train.loop import make_optimizer
+    from msvit_tpu.utils.metrics import MetricsLogger
+
+    run_dir = os.path.join(args.out, "subsample")
+    os.makedirs(run_dir, exist_ok=True)
+    data = ensure_corpus(args.out, args.corpus_size, size=224, seed=args.seed)
+
+    # sandbox geometry: 6 layers, grid 4 -> x2, depth 1 (patch 16 keeps
+    # the 224/4=56px boxes resampled at 16px tokens; the reference used
+    # its pretrained trunk's patch 14 — a checkpoint-driven choice)
+    cfg = SubsampleViTConfig(
+        num_hidden_layers=6,
+        image_size=224,
+        patch_size=16,
+        initial_grid_size=4,
+        multiplicative_grid_size=2,
+        nesting_mode="open",
+        max_depth=1,
+        num_labels=len(SHAPE_CLASSES),
+    )
+    model = SubsampleViTForImageClassification(cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    grid = cfg.initial_grid_size
+    n_roots = grid * grid
+
+    it = corpus_batches(data, args.batch, seed=args.seed, include_regions=True)
+    first = next(it)
+    pix0 = jnp.asarray(first["pixel_values"])
+    lab0 = jnp.asarray(first["labels"])
+    variables = jax.jit(model.init)(
+        {"params": rng, "policy": rng}, pix0[:1], lab0[:1]
+    )
+
+    metrics = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"))
+
+    # ---- phase A: supervised warmup of trunk+head (policy params frozen,
+    # decisions still sampled from the untrained=near-random policy) ----
+    warm_opt = make_optimizer(
+        args.warmup_lr, trainable=lambda path: "projection" not in path
+    )
+    warm_state = jax.jit(warm_opt.init)(variables)
+
+    @jax.jit
+    def warm_step(v, s, pix, labels, key):
+        def loss_fn(v):
+            out = model.apply(v, pix, labels, rngs={"policy": key})
+            return jnp.mean(out["loss"]), out["loss"]
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
+        updates, s = warm_opt.update(grads, s, v)
+        return optax.apply_updates(v, updates), s, loss
+
+    t0 = time.perf_counter()
+    batch = first
+    for i in range(args.warmup):
+        pix = jnp.asarray(batch["pixel_values"])
+        labels = jnp.asarray(batch["labels"])
+        variables, warm_state, loss = warm_step(
+            variables, warm_state, pix, labels, jax.random.fold_in(rng, i)
+        )
+        if i % 50 == 0 or i == args.warmup - 1:
+            metrics.log(i, phase="warmup", ce=float(loss))
+            print(f"[warmup {i}] CE {float(loss):.4f}", flush=True)
+        batch = next(it)
+    print(f"phase A done in {time.perf_counter() - t0:.0f}s")
+
+    # ---- phase B: REINFORCE on the policy only ----
+    pol_opt = make_optimizer(
+        args.lr, trainable=lambda path: "projection" in path
+    )
+    pol_state = jax.jit(pol_opt.init)(variables)
+
+    @jax.jit
+    def pol_step(v, s, pix, labels, key):
+        def loss_fn(v):
+            out = model.apply(v, pix, labels, rngs={"policy": key},
+                              output_logs=True)
+            return reinforce_loss(out["loss"], out["log_prob"]), out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
+        updates, s = pol_opt.update(grads, s, v)
+        # root-level subdivision decisions: [B, cap] bool, roots first
+        decisions = out["logs"]["subsample_masks"][0][:, :n_roots]
+        return (optax.apply_updates(v, updates), s, loss,
+                jnp.mean(out["loss"]), decisions)
+
+    def align(decisions, regions):
+        """precision/recall of subdivision vs object-relevant boxes."""
+        frac = box_object_fraction(regions, grid)
+        relevant = frac >= args.obj_thresh
+        dec = np.asarray(decisions, bool)
+        tp = (dec & relevant).sum()
+        prec = tp / max(dec.sum(), 1)
+        rec = tp / max(relevant.sum(), 1)
+        return float(prec), float(rec), float(dec.mean()), float(relevant.mean())
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        pix = jnp.asarray(batch["pixel_values"])
+        labels = jnp.asarray(batch["labels"])
+        variables, pol_state, loss, ce, decisions = pol_step(
+            variables, pol_state, pix, labels, jax.random.fold_in(rng, 10**6 + i)
+        )
+        if i % 25 == 0 or i == args.steps - 1:
+            prec, rec, subdiv_rate, base_rate = align(
+                decisions, batch["regions"]
+            )
+            metrics.log(
+                args.warmup + i, phase="reinforce", reinforce=float(loss),
+                ce=float(ce), precision=prec, recall=rec,
+                subdiv_rate=subdiv_rate, relevant_rate=base_rate,
+            )
+            print(
+                f"[reinforce {i}] CE {float(ce):.4f}  subdiv {subdiv_rate:.2f}"
+                f"  precision {prec:.3f} (base {base_rate:.3f})  recall {rec:.3f}",
+                flush=True,
+            )
+        batch = next(it)
+    print(f"phase B done in {time.perf_counter() - t0:.0f}s")
+    metrics.close()
+
+    # ---- evaluation: learned policy vs forced controls ----
+    def forced(v, bias):
+        proj = v["params"]["model"]["projection"]
+        forced_proj = {**proj, "bias": jnp.full_like(proj["bias"], bias)}
+        return {
+            **v,
+            "params": {
+                **v["params"],
+                "model": {**v["params"]["model"], "projection": forced_proj},
+            },
+        }
+
+    hold = generate_batch(
+        range(20_000_000, 20_000_000 + args.eval_size), size=224
+    )
+    eval_pix = hold["images"].astype(np.float32) / 127.5 - 1.0
+    eval_lab = hold["labels"]
+
+    @jax.jit
+    def logits_of(v, pix, key):
+        out = model.apply(v, pix, rngs={"policy": key})
+        return out["classifier_logits"], out["last_valid_mask"].sum(-1)
+
+    def accuracy(v):
+        correct = tokens = 0
+        for lo in range(0, args.eval_size - args.batch + 1, args.batch):
+            pix = jnp.asarray(eval_pix[lo : lo + args.batch])
+            logits, n_tok = logits_of(v, pix, jax.random.PRNGKey(lo))
+            correct += int(
+                (np.argmax(np.asarray(logits), -1)
+                 == eval_lab[lo : lo + args.batch]).sum()
+            )
+            tokens += float(np.asarray(n_tok).mean())
+        n_batches = len(range(0, args.eval_size - args.batch + 1, args.batch))
+        return correct / (n_batches * args.batch), tokens / n_batches
+
+    acc_learned, tok_learned = accuracy(variables)
+    acc_never, tok_never = accuracy(forced(variables, -20.0))
+    acc_always, tok_always = accuracy(forced(variables, +20.0))
+    print(f"\nheld-out top-1 (n={args.eval_size}, chance "
+          f"{1.0/len(SHAPE_CLASSES):.3f}):")
+    print(f"  learned policy : {acc_learned:.4f}  ({tok_learned:.1f} tokens/img)")
+    print(f"  never subdivide: {acc_never:.4f}  ({tok_never:.1f} tokens/img)")
+    print(f"  always subdivide:{acc_always:.4f}  ({tok_always:.1f} tokens/img)")
+
+    # quadtree heat-map figure on a few held-out images
+    from msvit_tpu.models.subsample import build_quadtree
+    from msvit_tpu.viz import visualize_subsample_output
+
+    out = model.apply(
+        variables, jnp.asarray(eval_pix[:4]),
+        jnp.asarray(eval_lab[:4]), rngs={"policy": jax.random.PRNGKey(0)},
+        output_logs=True, return_pixel_values=True,
+    )
+    visualize_subsample_output(
+        out, build_quadtree(cfg), show=False,
+        save_path=os.path.join(run_dir, "quadtree.png"),
+    )
+    with open(os.path.join(run_dir, "summary.json"), "w") as f:
+        json.dump(
+            {
+                "warmup": args.warmup, "steps": args.steps,
+                "acc_learned": acc_learned, "acc_never": acc_never,
+                "acc_always": acc_always, "tokens_learned": tok_learned,
+                "tokens_never": tok_never, "tokens_always": tok_always,
+            },
+            f, indent=1,
+        )
+    print(f"figure + metrics under {run_dir}")
+
+
+if __name__ == "__main__":
+    main()
