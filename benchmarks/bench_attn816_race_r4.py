@@ -1,0 +1,106 @@
+"""Attention-implementation race at the multistate trunk shape (r4).
+
+The SoL decomposition (bench_multistate_sol_r4.py) showed the bs8
+multistate trunk is 75% attention (16.3 of 21.7 ms) with the packed
+kernel at ~12 TF/s effective — 10x off the chip's chained-bf16 rate —
+while the int8 GEMMs run at 245 TOPS.  The floor is therefore kernel
+overhead, not shape: this races every implementation at the exact
+[B, N=816, H=12, dh=64] shape, 12 chained layers, soft additive mask.
+
+flash/fused consume [B,H,N,dh] — the unpack transpose from the packed
+[B,N,3D] qkv layout is INCLUDED in their timing (production would pay
+it).  flash takes the bool mask (hard −inf): vs the soft −100 mask the
+deviation is ≤e^-100 — the class of deviation already accepted by the
+banded op (RESULTS.md).
+
+Usage: python benchmarks/bench_attn816_race_r4.py [bs ...]  (default 8 32)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from _timing import bench_queued
+from msvit_tpu.ops.flash_attention import flash_attention
+from msvit_tpu.ops.fused_attention import fused_attention, xla_attention
+from msvit_tpu.ops.packed_attention import packed_attention
+
+N, D, H = 816, 768, 12
+DH = D // H
+
+
+def race(bs: int):
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    qkv = jax.random.normal(k1, (bs, N, 3 * D), jnp.bfloat16) * 0.5
+    mbool = jax.random.uniform(k2, (bs, 1, N, N)) > 0.3
+    additive = jnp.where(mbool, 0.0, -100.0).astype(jnp.float32)
+
+    def unpack(x):
+        q, k, v = [
+            x[..., i * D : (i + 1) * D].reshape(bs, N, H, DH).transpose(
+                0, 2, 1, 3
+            )
+            for i in range(3)
+        ]
+        return q, k, v
+
+    @jax.jit
+    def f_packed(x, i):
+        s = jnp.float32(0)
+        for l in range(12):
+            s += jnp.sum(
+                packed_attention(x + (i + l) * 1e-6, H, mask=additive
+                                 ).astype(jnp.float32))
+        return s
+
+    @jax.jit
+    def f_flash(x, i):
+        s = jnp.float32(0)
+        for l in range(12):
+            q, k, v = unpack(x + (i + l) * 1e-6)
+            s += jnp.sum(
+                flash_attention(q, k, v, mask=mbool).astype(jnp.float32))
+        return s
+
+    @jax.jit
+    def f_fused(x, i):
+        s = jnp.float32(0)
+        for l in range(12):
+            q, k, v = unpack(x + (i + l) * 1e-6)
+            s += jnp.sum(
+                fused_attention(q, k, v, mask=mbool).astype(jnp.float32))
+        return s
+
+    @jax.jit
+    def f_xla(x, i):
+        s = jnp.float32(0)
+        for l in range(12):
+            q, k, v = unpack(x + (i + l) * 1e-6)
+            o, _ = xla_attention(q, k, v, mask=additive)
+            s += jnp.sum(o.astype(jnp.float32))
+        return s
+
+    flops = 12 * 2 * 2 * bs * N * N * D
+    # alternate twice (chip-state drift can fake a single-order win)
+    for name, fn in (("packed", f_packed), ("flash", f_flash),
+                     ("fused", f_fused), ("xla", f_xla),
+                     ("packed2", f_packed), ("flash2", f_flash)):
+        try:
+            dt = bench_queued(lambda i: fn(qkv, float(i)), iters=20)
+            print(f"bs={bs:3d} {name:8s}: {dt * 1e3:7.2f} ms/12-layers "
+                  f"({flops / dt / 1e12:6.1f} TF/s eff)", flush=True)
+        except Exception as e:
+            print(f"bs={bs:3d} {name:8s}: FAIL {str(e).splitlines()[0][:90]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices())
+    for bs in [int(a) for a in (sys.argv[1:] or ["8", "32"])]:
+        race(bs)

@@ -69,6 +69,15 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--clip", type=float, default=1.0,
+                    help="global grad-norm clip (0 disables)")
+    ap.add_argument(
+        "--layerscale", type=float, default=1e-5,
+        help="LayerScale init — from-scratch deep-ViT stabilizer (DINOv2's "
+        "1e-5); only the init changes, so family transfer is unaffected. "
+        "The first b8 run without clip+small-layerscale plateaued at "
+        "chance and diverged to NaN at lr 6e-4 (metrics.jsonl r4).",
+    )
     args = ap.parse_args()
 
     from msvit_tpu.data.augment import random_brightness_contrast, random_flip
@@ -94,6 +103,7 @@ def main():
     cfg = BaseViTConfig(
         **geom,
         hidden_dropout_prob=0.1,
+        layerscale_value=args.layerscale,
         remat=args.remat,
     )
     model = ViTForImageClassification(cfg, num_labels=num_classes)
@@ -111,6 +121,10 @@ def main():
         decay_steps=args.steps,
     )
     optimizer = optax.adamw(schedule, weight_decay=args.weight_decay)
+    if args.clip > 0:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(args.clip), optimizer
+        )
 
     def loss_fn(p, batch, key):
         k_aug, k_flip, k_drop = jax.random.split(key, 3)
