@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from _timing import bench_queued
 from msvit_tpu.ops.flash_attention import flash_attention
-from msvit_tpu.ops.fused_attention import fused_attention, xla_attention
+from msvit_tpu.ops.attention import xla_attention
+from msvit_tpu.ops.fused_attention import fused_attention
 from msvit_tpu.ops.packed_attention import packed_attention
 
 N, D, H = 816, 768, 12

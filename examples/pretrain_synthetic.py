@@ -48,6 +48,10 @@ PRESETS = {
     # the reference trunk geometry: dino-vitb8 = ViT-B/8 @224, 784 tokens
     "b8": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
                patch_size=8, image_size=224),
+    # ViT-S/8 — same 784-token geometry, 4x fewer params (fallback trunk
+    # if B/8 from-scratch optimization stalls on the small corpus)
+    "s8": dict(hidden_size=384, num_hidden_layers=12, num_attention_heads=6,
+               patch_size=8, image_size=224),
     # ViT-B/16 — cheaper 197-token variant
     "b16": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
                 patch_size=16, image_size=224),
@@ -182,6 +186,9 @@ def main():
     print(f"held-out top-1: {res['top1_acc']:.4f} (n={res['n']:.0f}, "
           f"chance {1.0/num_classes:.3f})")
 
+    if final_loss != final_loss:  # NaN: never clobber a good checkpoint
+        print("final loss is NaN — NOT saving a checkpoint")
+        sys.exit(1)
     save_checkpoint(os.path.join(run_dir, "ckpt"), trainer.step,
                     {"params": trainer.params})
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
