@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="compute policy; f32 sidesteps the bf16 "
+                    "grad-spike instability seen at depth-12 scale")
     ap.add_argument("--clip", type=float, default=1.0,
                     help="global grad-norm clip (0 disables)")
     ap.add_argument(
@@ -104,11 +107,17 @@ def main():
     run_dir = os.path.join(args.out, f"pretrain_{args.preset}")
     os.makedirs(run_dir, exist_ok=True)
 
+    policy_kw = {}
+    if args.dtype == "f32":
+        from msvit_tpu.settings import parity_policy
+
+        policy_kw["policy"] = parity_policy()
     cfg = BaseViTConfig(
         **geom,
         hidden_dropout_prob=0.1,
         layerscale_value=args.layerscale,
         remat=args.remat,
+        **policy_kw,
     )
     model = ViTForImageClassification(cfg, num_labels=num_classes)
     rng = jax.random.PRNGKey(args.seed)
@@ -132,8 +141,10 @@ def main():
 
     def loss_fn(p, batch, key):
         k_aug, k_flip, k_drop = jax.random.split(key, 3)
+        # uint8 wire format; normalize on device (fuses into patchify)
+        pix = batch["pixel_values"].astype(jnp.float32) / 127.5 - 1.0
         images = random_flip(
-            k_flip, random_brightness_contrast(k_aug, batch["pixel_values"])
+            k_flip, random_brightness_contrast(k_aug, pix)
         )
         logits = model.apply(
             {"params": p}, images, deterministic=False,
@@ -152,7 +163,7 @@ def main():
     )
 
     def device_batches():
-        for b in corpus_batches(data, args.batch, seed=args.seed):
+        for b in corpus_batches(data, args.batch, seed=args.seed, uint8=True):
             yield {
                 "pixel_values": jnp.asarray(b["pixel_values"]),
                 "labels": jnp.asarray(b["labels"]),

@@ -314,9 +314,14 @@ def corpus_batches(
     batch_size: int,
     seed: int = 0,
     include_regions: bool = False,
+    uint8: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite shuffled batch stream over a loaded (or generated) corpus.
-    Images come out as float32 in [-1, 1] (the families' pixel range)."""
+    Images come out as float32 in [-1, 1] (the families' pixel range) —
+    or raw uint8 with `uint8=True`: 4× less host→device traffic, with
+    the /127.5−1 normalization done on device where XLA fuses it into
+    the patch embedding (on the tunneled chip the f32 feed dominates the
+    train step: 38 MB/batch at bs64/224px)."""
     n = len(data["labels"])
     rng = np.random.default_rng(seed)
     while True:
@@ -324,9 +329,11 @@ def corpus_batches(
         for lo in range(0, n - batch_size + 1, batch_size):
             idx = order[lo : lo + batch_size]
             batch = {
-                "pixel_values": data["images"][idx].astype(np.float32)
-                / 127.5
-                - 1.0,
+                "pixel_values": (
+                    data["images"][idx]
+                    if uint8
+                    else data["images"][idx].astype(np.float32) / 127.5 - 1.0
+                ),
                 "labels": data["labels"][idx],
             }
             if include_regions:

@@ -128,6 +128,20 @@ class BaseViTSelfAttention(nn.Module):
             has_mask = attention_mask is not None
             if has_mask and attention_mask.shape[-2:] != (n_tok, n_tok):
                 use_packed = False  # not plain self-attention
+            elif (
+                cfg.attn_implementation == "auto"
+                and has_mask
+                and n_tok >= 512
+            ):
+                # masked mid/long regime: the per-head fused/flash
+                # kernels beat the packed ones 1.5-2.2x at [8-32, 816]
+                # (benchmarks/bench_attn816_race_r4.py: packed 16.9 /
+                # flash 10.7 / fused 7.6 ms per 12 layers at bs8) — the
+                # packed layout's win is the UNMASKED dense trunk
+                # (ViT-B @197 bs512 headline).  Fall through to
+                # multi_head_attention's auto (fused ≥512, flash beyond
+                # VMEM).  Explicit "packed" still forces the kernel.
+                use_packed = False
             else:
                 use_packed = packed_vmem_ok(
                     n_tok, d, h, elem_bytes=eb, has_mask=has_mask

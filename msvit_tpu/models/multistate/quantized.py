@@ -35,7 +35,7 @@ from msvit_tpu.models.base.vit import interpolate_pos_embed
 from msvit_tpu.models.clustering import cluster, max_children_bound
 from msvit_tpu.models.multistate.config import MultiStateViTConfig
 from msvit_tpu.models.multistate.model import build_multistate_attention_mask
-from msvit_tpu.ops.attention import xla_attention
+from msvit_tpu.ops.attention import multi_head_attention, xla_attention
 from msvit_tpu.ops.packed_attention import (
     int8_grouped_vmem_ok,
     packed_attention,
@@ -301,7 +301,21 @@ def quantized_multistate_apply(
                     h,
                 )
             elif on_tpu:
-                out = packed_attention(qkv, h, mask=additive)
+                # r4: the per-head fused kernel beats the packed-layout
+                # one 2.2x at the masked multistate shape (7.6 vs 16.9 ms
+                # per 12 layers at bs8; bench_attn816_race_r4.py) — the
+                # unpack transposes are included in that win.  flash
+                # covers shapes whose score tile exceeds fused's VMEM
+                # gate (the multi_head_attention auto rule).
+                nt = qkv.shape[1]
+                dh = d // h
+                t = qkv.reshape(b, nt, 3, h, dh).transpose(2, 0, 3, 1, 4)
+                out4, _ = multi_head_attention(
+                    t[0], t[1], t[2], mask=additive, implementation="auto"
+                )
+                out = jnp.swapaxes(out4, 1, 2).reshape(b, nt, d).astype(
+                    qkv.dtype
+                )
             else:
                 nt = qkv.shape[1]
                 dh = d // h
