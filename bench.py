@@ -282,7 +282,11 @@ def _bench_multistate() -> dict:
         return jnp.sum(out["last_hidden_state"].astype(jnp.float32))
 
     keys = jax.random.split(jax.random.PRNGKey(1), 64)
-    dt = _queued(lambda i: fwd(qp, pix, float(i + 1), keys[i]), iters=20)
+    # warmup=10: the first executions after a fresh multistate compile
+    # read ~1.5-2x slow (observed across sessions: 46-54 ms cold vs
+    # 24-27 warm at bs8) — two warmup iters are not enough to settle it
+    dt = _queued(lambda i: fwd(qp, pix, float(i + 1), keys[i]), iters=20,
+                 warmup=10)
     return {
         "metric": "multistate_int8_late256_serving_throughput",
         "value": round(bs / dt, 1),

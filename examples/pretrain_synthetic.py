@@ -52,6 +52,12 @@ PRESETS = {
     # if B/8 from-scratch optimization stalls on the small corpus)
     "s8": dict(hidden_size=384, num_hidden_layers=12, num_attention_heads=6,
                patch_size=8, image_size=224),
+    # 6-layer S/8: keeps the 224px/784-token geometry, halves the depth —
+    # the from-scratch instability scales with depth (12-layer runs NaN
+    # mid-run even in f32; the 6-layer CPU analog trains cleanly), and the
+    # reference's own subsample sandbox uses a 6-layer trunk
+    "s8d6": dict(hidden_size=384, num_hidden_layers=6, num_attention_heads=6,
+                 patch_size=8, image_size=224),
     # ViT-B/16 — cheaper 197-token variant
     "b16": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
                 patch_size=16, image_size=224),

@@ -72,7 +72,7 @@ def main():
     ap.add_argument("--ckpt", default=None,
                     help="pretrain_synthetic checkpoint dir (default "
                     "<out>/pretrain_<preset>/ckpt)")
-    ap.add_argument("--preset", default="b8", choices=["b8", "s8", "small"])
+    ap.add_argument("--preset", default="b8", choices=["b8", "s8", "s8d6", "small"])
     ap.add_argument("--eval-size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
@@ -93,9 +93,10 @@ def main():
     run_dir = os.path.join(args.out, "multistate")
     os.makedirs(run_dir, exist_ok=True)
 
-    if args.preset in ("b8", "s8"):
+    if args.preset in ("b8", "s8", "s8d6"):
         width = 768 if args.preset == "b8" else 384
-        geom = dict(hidden_size=width, num_hidden_layers=12,
+        geom = dict(hidden_size=width,
+                    num_hidden_layers=6 if args.preset == "s8d6" else 12,
                     num_attention_heads=width // 64, patch_size=8,
                     image_size=224)
         clus = dict(ncut_dim=8, num_sample=1024, max_clusters=16)

@@ -52,6 +52,17 @@ def main():
     ap.add_argument("--log-every", type=int, default=25)
     ap.add_argument("--viz-at", default="0,mid,end",
                     help="comma list of step markers for figures")
+    ap.add_argument(
+        "--losses", default="sandbox", choices=["sandbox", "all7"],
+        help="'sandbox' = the reference's own weights (query_patch 1.0, "
+        "context_patch 1e-4, pos_reg 0.5 — sandbox/predictive.py:48-96): "
+        "the learning-evidence configuration.  'all7' activates every "
+        "loss at unit weight — it exercises all seven paths but the "
+        "unit-weighted LATENT losses are scale-unnormalized (they grow "
+        "with the embedding norm), so totals are not a learning metric "
+        "(measured r4: latent components drift up while query_patch "
+        "still improves)."
+    )
     args = ap.parse_args()
 
     from msvit_tpu.data.synthetic import corpus_batches, ensure_corpus
@@ -64,7 +75,7 @@ def main():
     from msvit_tpu.utils.metrics import MetricsLogger
     from msvit_tpu.viz import visualize_predictive_sample
 
-    run_dir = os.path.join(args.out, "predictive")
+    run_dir = os.path.join(args.out, f"predictive_{args.losses}")
     os.makedirs(run_dir, exist_ok=True)
     data = ensure_corpus(args.out, args.corpus_size, size=224, seed=args.seed)
 
@@ -82,19 +93,33 @@ def main():
     # all seven losses active; sandbox weights where the reference set
     # them (query_patch 1.0, context_patch 1e-4, pos_reg 0.5), unit
     # weights elsewhere
-    tc = PredictiveViTTrainingConfig(
-        preservation=1.0,
-        context_prediction=1.0,
-        query_prediction=1.0,
-        context_patch_prediction=1e-4,
-        query_patch_prediction=1.0,
-        positional_recovery=1.0,
-        positional_regularization=0.5,
-    )
+    if args.losses == "all7":
+        tc = PredictiveViTTrainingConfig(
+            preservation=1.0,
+            context_prediction=1.0,
+            query_prediction=1.0,
+            context_patch_prediction=1e-4,
+            query_patch_prediction=1.0,
+            positional_recovery=1.0,
+            positional_regularization=0.5,
+        )
+    else:  # the reference sandbox configuration
+        tc = PredictiveViTTrainingConfig(
+            context_patch_prediction=1e-4,
+            query_patch_prediction=1.0,
+            positional_regularization=0.5,
+        )
     rng = jax.random.PRNGKey(1212)
 
-    it = corpus_batches(data, args.batch, seed=args.seed)
-    pix0 = jnp.asarray(next(it)["pixel_values"])
+    it = corpus_batches(data, args.batch, seed=args.seed, uint8=True)
+
+    def nxt():
+        return (
+            jnp.asarray(next(it)["pixel_values"]).astype(jnp.float32)
+            / 127.5 - 1.0
+        )
+
+    pix0 = nxt()
     variables = jax.jit(model.init)({"params": rng, "glimpse": rng}, pix0[:2])
     n_params = sum(x.size for x in jax.tree.leaves(variables))
     print(f"predictive model: {n_params/1e6:.1f}M params, bs{args.batch}, "
@@ -136,7 +161,7 @@ def main():
     history = []
     t0 = time.perf_counter()
     for i in range(args.steps):
-        pix = jnp.asarray(next(it)["pixel_values"])
+        pix = nxt()
         variables, opt_state, loss, losses = step(
             variables, opt_state, pix, jax.random.PRNGKey(i)
         )

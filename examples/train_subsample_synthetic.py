@@ -72,6 +72,14 @@ def main():
     ap.add_argument("--obj-thresh", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
+    ap.add_argument(
+        "--trunk", default="none", choices=["none", "s8d6"],
+        help="'s8d6' bootstraps the trunk from the pretrain_synthetic "
+        "s8d6 checkpoint (the reference's pretrained-trunk stance, "
+        "sandbox/subsample_vit.py:52-66): phase A then trains the "
+        "classifier head only and phase B the policy only.",
+    )
+    ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
 
     from msvit_tpu.data.synthetic import (
@@ -92,9 +100,12 @@ def main():
     os.makedirs(run_dir, exist_ok=True)
     data = ensure_corpus(args.out, args.corpus_size, size=224, seed=args.seed)
 
-    # sandbox geometry: 6 layers, grid 4 -> x2, depth 1 (patch 16 keeps
-    # the 224/4=56px boxes resampled at 16px tokens; the reference used
-    # its pretrained trunk's patch 14 — a checkpoint-driven choice)
+    # sandbox geometry: 6 layers, grid 4 -> x2, depth 1.  The patch size
+    # follows the trunk (the reference used its pretrained trunk's 14):
+    # 16 for from-scratch, 8 when bootstrapping from the s8d6 checkpoint.
+    trunk_kw = {}
+    if args.trunk == "s8d6":
+        trunk_kw = dict(hidden_size=384, num_attention_heads=6, patch_size=8)
     cfg = SubsampleViTConfig(
         num_hidden_layers=6,
         image_size=224,
@@ -104,6 +115,7 @@ def main():
         nesting_mode="open",
         max_depth=1,
         num_labels=len(SHAPE_CLASSES),
+        **trunk_kw,
     )
     model = SubsampleViTForImageClassification(cfg)
     rng = jax.random.PRNGKey(args.seed)
@@ -117,14 +129,38 @@ def main():
     variables = jax.jit(model.init)(
         {"params": rng, "policy": rng}, pix0[:1], lab0[:1]
     )
+    if args.trunk == "s8d6":
+        from msvit_tpu.compat import transfer_base_to_subsample
+        from msvit_tpu.models.base import BaseViTConfig
+        from msvit_tpu.models.base.vit import ViTForImageClassification
+        from msvit_tpu.train import restore_checkpoint
+
+        ckpt = args.ckpt or os.path.join(args.out, "pretrain_s8d6", "ckpt")
+        bgeom = dict(hidden_size=384, num_hidden_layers=6,
+                     num_attention_heads=6, patch_size=8, image_size=224)
+        bmodel = ViTForImageClassification(BaseViTConfig(**bgeom),
+                                           num_labels=len(SHAPE_CLASSES))
+        bparams = jax.jit(bmodel.init)(
+            {"params": rng}, jnp.zeros((1, 224, 224, 3))
+        )["params"]
+        bparams = restore_checkpoint(ckpt, {"params": bparams})["params"]
+        variables = {
+            **variables,
+            "params": transfer_base_to_subsample(
+                bparams["vit"], variables["params"], 6
+            ),
+        }
+        print(f"bootstrapped trunk from {ckpt}")
 
     metrics = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"))
 
     # ---- phase A: supervised warmup of trunk+head (policy params frozen,
     # decisions still sampled from the untrained=near-random policy) ----
-    warm_opt = make_optimizer(
-        args.warmup_lr, trainable=lambda path: "projection" not in path
-    )
+    if args.trunk == "s8d6":  # trunk is pretrained: head-only warmup
+        warm_trainable = lambda path: "classifier" in path  # noqa: E731
+    else:
+        warm_trainable = lambda path: "projection" not in path  # noqa: E731
+    warm_opt = make_optimizer(args.warmup_lr, trainable=warm_trainable)
     warm_state = jax.jit(warm_opt.init)(variables)
 
     @jax.jit

@@ -12,6 +12,8 @@ from msvit_tpu.compat.family_import import (  # noqa: F401
     import_into_multistate,
     import_into_predictive,
     import_into_subsample,
+    transfer_base_to_multistate,
+    transfer_base_to_subsample,
 )
 from msvit_tpu.compat.pretrained import (  # noqa: F401
     config_from_hf,

@@ -113,3 +113,49 @@ def import_into_subsample(
         out["model"] = prefix
         return out
     return prefix
+
+def transfer_base_to_subsample(
+    base_params, params, num_layers: int
+):
+    """Flax→flax subsample bootstrap (r4): initialize a SubsampleViT*
+    model from a `ViTModel`/`ViTForImageClassification['vit']` tree
+    trained IN THIS FRAMEWORK — the offline counterpart of the
+    reference's AutoModel `post_init` load (`modeling_ssvit.py:235-249`),
+    mirroring `transfer_base_to_multistate`.  Copies trunk layers, the
+    patch projection (both sides are Dense [P²C, D] with the same
+    (p1,p2,c) feature order), the CLS-rowed position table (bicubically
+    resampled if lengths differ) and the CLS token.  Patch sizes must
+    match (the projection kernel is patch-size-shaped)."""
+    from msvit_tpu.models.base.vit import interpolate_pos_embed
+
+    src_emb = base_params["embeddings"]
+    out = dict(params)
+    prefix = dict(out["model"]) if "model" in out else dict(out)
+    prefix["encoder"] = base_params["encoder"]
+    emb = dict(prefix["embeddings"])
+    src_proj = src_emb["patch_projection"]
+    dst_proj = emb["patch_projection"]
+    if jnp.asarray(src_proj["kernel"]).shape != jnp.asarray(
+        dst_proj["kernel"]
+    ).shape:
+        raise ValueError(
+            "patch_projection shapes differ "
+            f"({jnp.asarray(src_proj['kernel']).shape} vs "
+            f"{jnp.asarray(dst_proj['kernel']).shape}) — the subsample "
+            "config must use the base trunk's patch_size"
+        )
+    emb["patch_projection"] = src_proj
+    pos = jnp.asarray(src_emb["position_embeddings"])
+    want_len = emb["position_embeddings"].shape[1]
+    if pos.shape[1] != want_len:
+        g = int(round((want_len - 1) ** 0.5))
+        pos = interpolate_pos_embed(pos, want_len - 1, (g, g), has_cls=True)
+    emb["position_embeddings"] = pos.astype(
+        jnp.asarray(emb["position_embeddings"]).dtype
+    )
+    prefix["embeddings"] = emb
+    prefix["cls_token"] = jnp.array(jnp.asarray(src_emb["cls_token"]))
+    if "model" in out:
+        out["model"] = prefix
+        return out
+    return prefix

@@ -86,15 +86,19 @@ def _kernel_masked(qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, scale,
                     o_ref.dtype
                 ))
                 continue
-            # Training forward: no-max softmax with an f32 sum.  In f32,
-            # log(Σ exp(clip(s))) carries the same relative accuracy as
-            # the max-shifted mx + log(Σ exp(s−mx)) for every |s| < 80
-            # (exp has ~1 ulp relative error at any scale and the clamp
-            # bounds the sum inside f32 range), so the lse residual loses
-            # nothing while the max pass disappears.  The sum stays an
-            # f32 VPU pass — the backward's accuracy anchor.
-            p = jnp.exp(jnp.clip(s, -80.0, 80.0))
-            l = jnp.sum(p, axis=-1, keepdims=True)  # ≥ N·e⁻⁸⁰ > 0
+            # Training forward: max-SUBTRACTED softmax with a true lse.
+            # The r3 no-max shave (exp(clip(s, ±80))) is an inference
+            # optimization that is UNSAFE here: once attention logits
+            # grow past the clamp mid-training (they do, without
+            # qk-norm — observed at step ~700 of the r4 synthetic s8
+            # run), p·v overflows (N·e⁸⁰·|v| > f32 max) and the clipped
+            # lse makes the backward's exp(s − lse) explode.  The row
+            # max costs one VPU reduce only on the training path; the
+            # saved lse = m + log Σ exp(s−m) is exact, which keeps the
+            # backward exp(s − lse) ≤ 1 at ANY logit scale.
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)  # ≥ 1 (the max entry)
             o = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -102,7 +106,7 @@ def _kernel_masked(qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, scale,
             # defer the 1/l normalization to the [N, dh] output (3x fewer
             # divisions than normalizing the [N, N] probs)
             outs.append((o / l).astype(o_ref.dtype))
-            lse_ref[e, h] = jnp.log(l)
+            lse_ref[e, h] = m + jnp.log(l)
         o_ref[e] = jnp.concatenate(outs, axis=1)
 
 
@@ -255,15 +259,17 @@ def _packed_forward_grouped(qkv, mask, num_heads, scale, mask_value,
                 )
                 outs.append((o / l).astype(o_r.dtype))
                 continue
-            # no-max training forward — see _kernel_masked
-            p = jnp.exp(jnp.clip(s, -80.0, 80.0))
+            # max-subtracted training forward — see _kernel_masked (the
+            # no-max shave overflows once logits pass the clamp; r4 fix)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
             l = jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             outs.append((o / l).astype(o_r.dtype))
-            l_r[0, h] = jnp.log(l)
+            l_r[0, h] = mx + jnp.log(l)
         o_r[0] = jnp.concatenate(outs, axis=1)
 
     out_shapes = [jax.ShapeDtypeStruct((b, n, d), qkv.dtype)]

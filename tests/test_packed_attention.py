@@ -226,3 +226,48 @@ def test_packed_grouped_backward_per_head_mask():
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_ref), atol=3e-2, rtol=3e-2
     )
+
+
+def test_packed_training_stable_at_large_logits():
+    """r4 regression: the training forward/backward must survive attention
+    logits far past the old ±80 clamp (the no-max shaved softmax
+    overflowed: N·e⁸⁰·|v| > f32 max, and the clipped lse blew up the
+    backward's exp(s − lse)).  Scores here reach ~±340."""
+    import msvit_tpu.ops.packed_attention as pa
+
+    qkv = _qkv(21) * jnp.concatenate(
+        [jnp.full((D,), 12.0), jnp.full((D,), 12.0), jnp.ones((D,))]
+    )
+
+    def loss_packed(x):
+        return jnp.sum(packed_attention(x, H) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(_reference(x) ** 2)
+
+    # sanity: logits really are far beyond the old clamp
+    dh = D // H
+    t = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
+    smax = jnp.max(
+        jnp.einsum("bhqe,bhke->bhqk", t[0], t[1]) / jnp.sqrt(1.0 * dh)
+    )
+    assert float(smax) > 150.0, float(smax)
+
+    val, g = jax.value_and_grad(loss_packed)(qkv)
+    val_ref, g_ref = jax.value_and_grad(loss_ref)(qkv)
+    assert bool(jnp.isfinite(val)) and bool(jnp.isfinite(g).all())
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=3e-2, rtol=3e-2
+    )
+
+    old = pa._BWD_IMPL
+    try:  # the grouped backward path too (the mid/long training regime)
+        pa._BWD_IMPL = "grouped"
+        g2 = jax.jit(jax.grad(loss_packed))(qkv)
+        assert bool(jnp.isfinite(g2).all())
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(g_ref), atol=3e-2, rtol=3e-2
+        )
+    finally:
+        pa._BWD_IMPL = old
