@@ -103,13 +103,12 @@ def main():
     # sandbox geometry: 6 layers, grid 4 -> x2, depth 1.  The patch size
     # follows the trunk (the reference used its pretrained trunk's 14):
     # 16 for from-scratch, 8 when bootstrapping from the s8d6 checkpoint.
-    trunk_kw = {}
+    trunk_kw = dict(patch_size=16)
     if args.trunk == "s8d6":
         trunk_kw = dict(hidden_size=384, num_attention_heads=6, patch_size=8)
     cfg = SubsampleViTConfig(
         num_hidden_layers=6,
         image_size=224,
-        patch_size=16,
         initial_grid_size=4,
         multiplicative_grid_size=2,
         nesting_mode="open",
