@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--qk-norm", action="store_true",
+                    help="ViT-22B-style per-head q/k LayerNorm — bounds "
+                    "attention logits; the depth-12 from-scratch "
+                    "stabilizer (config.qk_norm)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                     help="compute policy; f32 sidesteps the bf16 "
                     "grad-spike instability seen at depth-12 scale")
@@ -122,6 +126,7 @@ def main():
         **geom,
         hidden_dropout_prob=0.1,
         layerscale_value=args.layerscale,
+        qk_norm=args.qk_norm,
         remat=args.remat,
         **policy_kw,
     )

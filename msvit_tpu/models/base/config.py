@@ -30,6 +30,13 @@ class BaseViTConfig:
     patch_size: int = 16
     num_channels: int = 3
     qkv_bias: bool = True
+    # per-head LayerNorm on q and k before the score dot (ViT-22B-style
+    # qk-norm): bounds attention logits, the from-scratch stabilizer for
+    # deep trunks (the r4 12-layer synthetic runs spike without it).
+    # New capability vs the reference (it only ever fine-tunes
+    # pretrained trunks).  Forces the einsum attention path (the packed
+    # fast path consumes the raw QKV GEMM output).
+    qk_norm: bool = False
     layerscale_value: float = 1.0
     drop_path_rate: float = 0.0
     use_swiglu_ffn: bool = False

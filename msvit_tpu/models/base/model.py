@@ -97,8 +97,14 @@ class BaseViTSelfAttention(nn.Module):
                 "banded_segments requires plain self-attention without "
                 "output_attentions and with static shapes"
             )
+        if use_banded and cfg.qk_norm:
+            raise ValueError(
+                "qk_norm is not supported on the banded kernel path "
+                "(it consumes the raw QKV GEMM output)"
+            )
         use_packed = use_banded or (
             cfg.attn_implementation in ("auto", "packed")
+            and not cfg.qk_norm  # norm applies to per-head q/k views
             and context_states is None
             and not output_attentions
             and (attention_mask is None or attention_mask.ndim == 4)
@@ -209,6 +215,20 @@ class BaseViTSelfAttention(nn.Module):
                 )
             k = jnp.concatenate([k, ckv[0]], axis=-2)
             v = jnp.concatenate([v, ckv[1]], axis=-2)
+
+        if cfg.qk_norm:
+            # per-head LayerNorm over dh on queries and ALL keys (incl.
+            # context keys — they enter the same score dot); learnable
+            # scale, no bias (ViT-22B recipe).  Bounds |scores| ≈
+            # O(√dh·|γ_q||γ_k|) at any weight scale.
+            q = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, use_bias=False, dtype=compute,
+                param_dtype=cfg.policy.param, name="q_norm",
+            )(q)
+            k = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, use_bias=False, dtype=compute,
+                param_dtype=cfg.policy.param, name="k_norm",
+            )(k)
 
         out, probs = multi_head_attention(
             q,
