@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
+    ap.add_argument("--qk-norm", action="store_true",
+                    help="trunk was pretrained with config.qk_norm "
+                    "(the layer param trees must match for the transfer)")
     args = ap.parse_args()
 
     from msvit_tpu.compat.family_import import transfer_base_to_multistate
@@ -101,6 +104,8 @@ def main():
                     image_size=224)
         clus = dict(ncut_dim=8, num_sample=1024, max_clusters=16)
         pregen, gen = 4, 2
+        if args.qk_norm:
+            geom["qk_norm"] = True
     else:  # smoke geometry, matches pretrain_synthetic --preset small
         geom = dict(hidden_size=128, num_hidden_layers=2,
                     num_attention_heads=4, patch_size=16, image_size=64)
