@@ -78,6 +78,12 @@ def main():
     ap.add_argument("--eval-size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
+    ap.add_argument(
+        "--label-mode", default="largest", choices=["largest", "center"],
+        help="'center' = glimpse-learnable target-object task (r5): the "
+        "centered never-occluded object defines the label; 'largest' is "
+        "the r3/r4 area-comparison task (recorded unlearnable at this "
+        "scale)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--qk-norm", action="store_true",
                     help="ViT-22B-style per-head q/k LayerNorm — bounds "
@@ -112,9 +118,11 @@ def main():
 
     geom = PRESETS[args.preset]
     size = geom["image_size"]
-    data = ensure_corpus(args.out, args.corpus_size, size=size, seed=args.seed)
+    data = ensure_corpus(args.out, args.corpus_size, size=size,
+                         seed=args.seed, label_mode=args.label_mode)
     num_classes = len(SHAPE_CLASSES)
-    run_dir = os.path.join(args.out, f"pretrain_{args.preset}")
+    mode_sfx = "" if args.label_mode == "largest" else f"_{args.label_mode}"
+    run_dir = os.path.join(args.out, f"pretrain_{args.preset}{mode_sfx}")
     os.makedirs(run_dir, exist_ok=True)
 
     policy_kw = {}
@@ -189,7 +197,8 @@ def main():
 
     # held-out eval: fresh generative seeds the corpus never used
     hold = generate_batch(
-        range(10_000_000, 10_000_000 + args.eval_size), size=size
+        range(10_000_000, 10_000_000 + args.eval_size), size=size,
+        label_mode=args.label_mode,
     )
     eval_pix = hold["images"].astype(np.float32) / 127.5 - 1.0
     eval_lab = hold["labels"]
@@ -216,7 +225,8 @@ def main():
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(
             {
-                "preset": args.preset, "steps": trainer.step,
+                "preset": args.preset, "label_mode": args.label_mode,
+                "steps": trainer.step,
                 "batch": args.batch, "final_loss": float(final_loss),
                 "holdout_top1": float(res["top1_acc"]),
                 "train_sec": dt, "params_m": n_params / 1e6,

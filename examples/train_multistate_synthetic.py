@@ -80,6 +80,10 @@ def main():
     ap.add_argument("--qk-norm", action="store_true",
                     help="trunk was pretrained with config.qk_norm "
                     "(the layer param trees must match for the transfer)")
+    ap.add_argument(
+        "--label-mode", default="largest", choices=["largest", "center"],
+        help="match the trunk's pretrain corpus; 'center' (r5) scores "
+        "clusters on the generalizing (non-memorizing) trunk")
     args = ap.parse_args()
 
     from msvit_tpu.compat.family_import import transfer_base_to_multistate
@@ -93,7 +97,8 @@ def main():
     )
     from msvit_tpu.train import restore_checkpoint
 
-    run_dir = os.path.join(args.out, "multistate")
+    mode_sfx = "" if args.label_mode == "largest" else f"_{args.label_mode}"
+    run_dir = os.path.join(args.out, f"multistate{mode_sfx}")
     os.makedirs(run_dir, exist_ok=True)
 
     if args.preset in ("b8", "s8", "s8d6"):
@@ -112,7 +117,9 @@ def main():
         clus = dict(ncut_dim=4, num_sample=16, max_clusters=4)
         pregen, gen = 1, 1
     if args.ckpt is None:
-        args.ckpt = os.path.join(args.out, f"pretrain_{args.preset}", "ckpt")
+        args.ckpt = os.path.join(
+            args.out, f"pretrain_{args.preset}{mode_sfx}", "ckpt"
+        )
     size, patch = geom["image_size"], geom["patch_size"]
 
     # --- restore the synthetically-pretrained base trunk ---
@@ -156,7 +163,8 @@ def main():
         return out["last_cluster_indices"], out["last_hidden_state"]
 
     hold = generate_batch(
-        range(30_000_000, 30_000_000 + args.eval_size), size=size
+        range(30_000_000, 30_000_000 + args.eval_size), size=size,
+        label_mode=args.label_mode,
     )
     pix = hold["images"].astype(np.float32) / 127.5 - 1.0
     region_patches = patch_region_labels(hold["regions"], patch)
@@ -214,6 +222,7 @@ def main():
         json.dump(
             {
                 "eval_size": args.eval_size,
+                "label_mode": args.label_mode,
                 "trained": {"ari": ari_tr, "nmi": nmi_tr, "clusters": ncl_tr},
                 "untrained": {"ari": ari_un, "nmi": nmi_un,
                               "clusters": ncl_un},

@@ -49,15 +49,25 @@ import numpy as np
 import optax
 
 
-def box_object_fraction(regions: np.ndarray, grid: int) -> np.ndarray:
-    """[B, G*G] fraction of object (non-background) pixels per root box.
-    Root boxes tile the image in row-major (y, x) order, matching the
-    subsample model's initial grid."""
+def box_object_fraction(
+    regions: np.ndarray, grid: int, target_only: bool = False
+) -> np.ndarray:
+    """[B, G*G] fraction of object pixels per root box.  Root boxes tile
+    the image in row-major (y, x) order, matching the subsample model's
+    initial grid.  With ``target_only`` only the label-defining target
+    object counts (center label mode: the target is drawn last, so its
+    region id is the per-image max) — the policy should subdivide where
+    the *answer* is, not where any distractor is."""
     b, s, _ = regions.shape
     cell = s // grid
     r = regions[:, : cell * grid, : cell * grid]
     r = r.reshape(b, grid, cell, grid, cell)
-    return (r > 0).mean(axis=(2, 4)).reshape(b, grid * grid)
+    if target_only:
+        tid = regions.reshape(b, -1).max(axis=1)
+        occ = r == tid[:, None, None, None, None]
+    else:
+        occ = r > 0
+    return occ.mean(axis=(2, 4)).reshape(b, grid * grid)
 
 
 def main():
@@ -72,6 +82,11 @@ def main():
     ap.add_argument("--obj-thresh", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
+    ap.add_argument(
+        "--label-mode", default="largest", choices=["largest", "center"],
+        help="'center' (r5) makes the CE reward meaningful: the label is "
+        "the centered target object's class, so subdividing the boxes "
+        "that contain it actually changes the reward")
     ap.add_argument(
         "--trunk", default="none", choices=["none", "s8d6"],
         help="'s8d6' bootstraps the trunk from the pretrain_synthetic "
@@ -96,9 +111,11 @@ def main():
     from msvit_tpu.train.loop import make_optimizer
     from msvit_tpu.utils.metrics import MetricsLogger
 
-    run_dir = os.path.join(args.out, "subsample")
+    mode_sfx = "" if args.label_mode == "largest" else f"_{args.label_mode}"
+    run_dir = os.path.join(args.out, f"subsample{mode_sfx}")
     os.makedirs(run_dir, exist_ok=True)
-    data = ensure_corpus(args.out, args.corpus_size, size=224, seed=args.seed)
+    data = ensure_corpus(args.out, args.corpus_size, size=224,
+                         seed=args.seed, label_mode=args.label_mode)
 
     # sandbox geometry: 6 layers, grid 4 -> x2, depth 1.  The patch size
     # follows the trunk (the reference used its pretrained trunk's 14):
@@ -134,7 +151,9 @@ def main():
         from msvit_tpu.models.base.vit import ViTForImageClassification
         from msvit_tpu.train import restore_checkpoint
 
-        ckpt = args.ckpt or os.path.join(args.out, "pretrain_s8d6", "ckpt")
+        ckpt = args.ckpt or os.path.join(
+            args.out, f"pretrain_s8d6{mode_sfx}", "ckpt"
+        )
         bgeom = dict(hidden_size=384, num_hidden_layers=6,
                      num_attention_heads=6, patch_size=8, image_size=224)
         bmodel = ViTForImageClassification(BaseViTConfig(**bgeom),
@@ -208,7 +227,9 @@ def main():
 
     def align(decisions, regions):
         """precision/recall of subdivision vs object-relevant boxes."""
-        frac = box_object_fraction(regions, grid)
+        frac = box_object_fraction(
+            regions, grid, target_only=args.label_mode == "center"
+        )
         relevant = frac >= args.obj_thresh
         dec = np.asarray(decisions, bool)
         tp = (dec & relevant).sum()
@@ -254,7 +275,8 @@ def main():
         }
 
     hold = generate_batch(
-        range(20_000_000, 20_000_000 + args.eval_size), size=224
+        range(20_000_000, 20_000_000 + args.eval_size), size=224,
+        label_mode=args.label_mode,
     )
     eval_pix = hold["images"].astype(np.float32) / 127.5 - 1.0
     eval_lab = hold["labels"]
@@ -303,6 +325,7 @@ def main():
         json.dump(
             {
                 "warmup": args.warmup, "steps": args.steps,
+                "label_mode": args.label_mode,
                 "acc_learned": acc_learned, "acc_never": acc_never,
                 "acc_always": acc_always, "tokens_learned": tok_learned,
                 "tokens_never": tok_never, "tokens_always": tok_always,

@@ -17,9 +17,26 @@ Scene model
 * 1..max_objects foreground objects, each a rotated signed-distance
   shape (circle, rectangle, triangle, ring, cross) filled with its own
   texture, composited back-to-front;
-* label = shape class of the largest visible object (5-way);
+* label = shape class of the largest visible object (5-way), or — with
+  ``label_mode="center"`` — of a designated *target* object that is
+  drawn last (never occluded) near the image center;
 * regions[y, x] = 0 for background, i for object i (z-order id), so
   object pixel sets are exact.
+
+Label modes
+-----------
+``largest`` (default, the r3/r4 corpus): label = shape class of the
+object with the most visible pixels.  VERDICT r4 established this task
+is *unlearnable* at 11M-trunk scale (cross-texture area comparison;
+supervised training plateaus at chance on corpus-8192), which capped the
+subsample-REINFORCE and generalization stories.  ``center``: one target
+object is placed near the center (|cx|,|cy| ≤ 0.15), drawn last so it is
+always fully visible, and the label is *its* shape class — a local
+recognition task that a 56px glimpse or an 8px-patch trunk both carry.
+Target scale spans (0.10, 0.35) so small targets stay unresolvable at
+coarse subsample-root resolution (56px box → 16px patch) but resolve
+after one ×2 subdivision — giving the REINFORCE policy a reward signal
+that actually depends on where it subdivides.
 
 Everything is deterministic in the seed, pure numpy, vectorized over the
 pixel grid.  `write_corpus` JPEG-encodes images to disk so the full
@@ -144,27 +161,32 @@ def generate_scene(
     size: int = 224,
     max_objects: int = 3,
     min_objects: int = 1,
+    label_mode: str = "largest",
 ) -> Dict[str, np.ndarray]:
     """One scene: {'image' uint8 [S,S,3], 'regions' uint8 [S,S],
-    'label' int, 'params' list} — all derived from the seeded RNG."""
+    'label' int, 'params' list} — all derived from the seeded RNG.
+
+    ``label_mode="largest"`` keeps the r3/r4 RNG stream bit-identical
+    (existing corpora and their recorded metrics reproduce).  ``center``
+    draws one extra *target* object last — centered, unoccluded, scale
+    in (0.10, 0.35) — and labels the scene with its class."""
+    if label_mode not in ("largest", "center"):
+        raise ValueError(f"unknown label_mode {label_mode!r}")
     rng = np.random.default_rng(seed)
     img = _texture(rng, size, TEXTURES[rng.integers(len(TEXTURES))])
     regions = np.zeros((size, size), np.uint8)
-    n_obj = int(rng.integers(min_objects, max_objects + 1))
+    if label_mode == "center":
+        # distractors (possibly zero) + one final target
+        n_obj = int(rng.integers(min_objects, max_objects + 1))
+        n_distract = n_obj - 1
+    else:
+        n_obj = int(rng.integers(min_objects, max_objects + 1))
+        n_distract = n_obj
     params = []
-    areas = []
     classes = []
-    for i in range(1, n_obj + 1):
-        shape = SHAPE_CLASSES[int(rng.integers(len(SHAPE_CLASSES)))]
-        p = dict(
-            shape=shape,
-            cx=float(rng.uniform(-0.55, 0.55)),
-            cy=float(rng.uniform(-0.55, 0.55)),
-            scale=float(rng.uniform(0.18, 0.42)),
-            angle=float(rng.uniform(0.0, np.pi)),
-            aspect=float(rng.uniform(0.8, 1.25)),
-            texture=TEXTURES[int(rng.integers(len(TEXTURES)))],
-        )
+
+    def _draw(i: int, p: Dict) -> None:
+        nonlocal img, regions
         mask = _shape_mask(
             p["shape"], size, p["cx"], p["cy"], p["scale"], p["angle"],
             p["aspect"],
@@ -173,11 +195,35 @@ def generate_scene(
         img = np.where(mask[..., None], tex, img)
         regions = np.where(mask, np.uint8(i), regions)
         params.append(p)
-        areas.append(int(mask.sum()))
-        classes.append(SHAPE_CLASSES.index(shape))
-    # visible areas (later objects may occlude earlier ones)
-    visible = [int((regions == i).sum()) for i in range(1, n_obj + 1)]
-    label = classes[int(np.argmax(visible))]
+        classes.append(SHAPE_CLASSES.index(p["shape"]))
+
+    for i in range(1, n_distract + 1):
+        _draw(i, dict(
+            shape=SHAPE_CLASSES[int(rng.integers(len(SHAPE_CLASSES)))],
+            cx=float(rng.uniform(-0.55, 0.55)),
+            cy=float(rng.uniform(-0.55, 0.55)),
+            scale=float(rng.uniform(0.18, 0.42)),
+            angle=float(rng.uniform(0.0, np.pi)),
+            aspect=float(rng.uniform(0.8, 1.25)),
+            texture=TEXTURES[int(rng.integers(len(TEXTURES)))],
+        ))
+    if label_mode == "center":
+        # target: centered, on top of the z-order, small-to-mid scale
+        _draw(n_distract + 1, dict(
+            shape=SHAPE_CLASSES[int(rng.integers(len(SHAPE_CLASSES)))],
+            cx=float(rng.uniform(-0.15, 0.15)),
+            cy=float(rng.uniform(-0.15, 0.15)),
+            scale=float(rng.uniform(0.10, 0.35)),
+            angle=float(rng.uniform(0.0, np.pi)),
+            aspect=float(rng.uniform(0.8, 1.25)),
+            texture=TEXTURES[int(rng.integers(len(TEXTURES)))],
+            target=True,
+        ))
+        label = classes[-1]
+    else:
+        # visible areas (later objects may occlude earlier ones)
+        visible = [int((regions == i).sum()) for i in range(1, n_obj + 1)]
+        label = classes[int(np.argmax(visible))]
     image_u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
     return {
         "image": image_u8,
@@ -188,10 +234,16 @@ def generate_scene(
 
 
 def generate_batch(
-    seeds: Sequence[int], size: int = 224, max_objects: int = 3
+    seeds: Sequence[int],
+    size: int = 224,
+    max_objects: int = 3,
+    label_mode: str = "largest",
 ) -> Dict[str, np.ndarray]:
     """Stacked scenes: images [B,S,S,3] u8, regions [B,S,S] u8, labels [B]."""
-    scenes = [generate_scene(int(s), size, max_objects) for s in seeds]
+    scenes = [
+        generate_scene(int(s), size, max_objects, label_mode=label_mode)
+        for s in seeds
+    ]
     return {
         "images": np.stack([s["image"] for s in scenes]),
         "regions": np.stack([s["regions"] for s in scenes]),
@@ -210,6 +262,7 @@ def write_corpus(
     size: int = 224,
     max_objects: int = 3,
     quality: int = 92,
+    label_mode: str = "largest",
 ) -> str:
     """JPEG-encode `num_images` scenes under `directory` (images/%06d.jpg)
     plus `meta.npz` (labels, regions) and `manifest.json`.  Returns the
@@ -223,7 +276,9 @@ def write_corpus(
     labels = np.zeros((num_images,), np.int32)
     regions = np.zeros((num_images, size, size), np.uint8)
     for i in range(num_images):
-        scene = generate_scene(seed * 1_000_003 + i, size, max_objects)
+        scene = generate_scene(
+            seed * 1_000_003 + i, size, max_objects, label_mode=label_mode
+        )
         labels[i] = scene["label"]
         regions[i] = scene["regions"]
         Image.fromarray(scene["image"]).save(
@@ -240,6 +295,7 @@ def write_corpus(
         "num_classes": len(SHAPE_CLASSES),
         "classes": list(SHAPE_CLASSES),
         "quality": quality,
+        "label_mode": label_mode,
     }
     path = os.path.join(directory, "manifest.json")
     with open(path, "w") as f:
@@ -287,14 +343,17 @@ def ensure_corpus(
     size: int = 224,
     seed: int = 0,
     max_objects: int = 3,
+    label_mode: str = "largest",
 ) -> Dict[str, np.ndarray]:
-    """Idempotent corpus: write `<out_dir>/corpus<size>` if absent (or too
-    small), then load (through the native JPEG decode path) and return it.
-    Shared by the reference-scale learning runs so pretrain / predictive /
+    """Idempotent corpus: write `<out_dir>/corpus<size>` (suffixed
+    `_<label_mode>` for non-default modes) if absent (or too small), then
+    load (through the native JPEG decode path) and return it.  Shared by
+    the reference-scale learning runs so pretrain / predictive /
     subsample / multistate all see the same images."""
     import time
 
-    d = os.path.join(out_dir, f"corpus{size}")
+    suffix = "" if label_mode == "largest" else f"_{label_mode}"
+    d = os.path.join(out_dir, f"corpus{size}{suffix}")
     manifest = os.path.join(d, "manifest.json")
     have = 0
     if os.path.exists(manifest):
@@ -303,7 +362,7 @@ def ensure_corpus(
     if have < num_images:
         t0 = time.time()
         write_corpus(d, num_images, seed=seed, size=size,
-                     max_objects=max_objects)
+                     max_objects=max_objects, label_mode=label_mode)
         print(f"wrote {num_images} JPEG scenes to {d} "
               f"in {time.time() - t0:.0f}s")
     return load_corpus(d, limit=num_images)

@@ -32,6 +32,37 @@ def test_scene_deterministic_and_consistent():
     assert a["regions"].max() == len(a["params"])
 
 
+def test_center_mode_target_is_centered_and_labels_it():
+    # r5 glimpse-learnable mode: the LAST object is the target — near
+    # the center, never occluded, and it defines the label
+    for seed in range(12):
+        s = generate_scene(seed, size=96, label_mode="center")
+        tgt = s["params"][-1]
+        assert tgt.get("target") is True
+        assert abs(tgt["cx"]) <= 0.15 and abs(tgt["cy"]) <= 0.15
+        assert 0.10 <= tgt["scale"] <= 0.35
+        assert s["label"] == SHAPE_CLASSES.index(tgt["shape"])
+        # target is on top of the z-order: its region id == n objects,
+        # and its mask pixels survive exactly (drawn last)
+        tid = len(s["params"])
+        assert (s["regions"] == tid).sum() > 0
+    # default mode's RNG stream is untouched by the new branch
+    a = generate_scene(77, size=64)
+    b = generate_scene(77, size=64, label_mode="largest")
+    np.testing.assert_array_equal(a["image"], b["image"])
+
+
+def test_center_mode_roundtrip(tmp_path):
+    d = str(tmp_path / "ccorpus")
+    write_corpus(d, 4, seed=5, size=64, label_mode="center")
+    data = load_corpus(d)
+    for i in range(4):
+        orig = generate_scene(5 * 1_000_003 + i, size=64,
+                              label_mode="center")
+        assert data["labels"][i] == orig["label"]
+        np.testing.assert_array_equal(data["regions"][i], orig["regions"])
+
+
 def test_different_seeds_differ():
     a = generate_scene(1, size=64)
     b = generate_scene(2, size=64)
