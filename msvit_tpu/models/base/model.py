@@ -97,14 +97,8 @@ class BaseViTSelfAttention(nn.Module):
                 "banded_segments requires plain self-attention without "
                 "output_attentions and with static shapes"
             )
-        if use_banded and cfg.qk_norm:
-            raise ValueError(
-                "qk_norm is not supported on the banded kernel path "
-                "(it consumes the raw QKV GEMM output)"
-            )
         use_packed = use_banded or (
             cfg.attn_implementation in ("auto", "packed")
-            and not cfg.qk_norm  # norm applies to per-head q/k views
             and context_states is None
             and not output_attentions
             and (attention_mask is None or attention_mask.ndim == 4)
@@ -159,15 +153,42 @@ class BaseViTSelfAttention(nn.Module):
             # [N,N] f32 VPU pass per head (scale=1.0 is a trace-time
             # branch in ops/packed_attention.py)
             scale = dh**-0.5
-            qscale = jnp.asarray([scale, 1.0, 1.0], compute).reshape(
-                1, 3, 1, 1
-            )
-            wp = (w_qkv.astype(compute) * qscale).reshape(d, 3 * h * dh)
-            qkvp = x @ wp
-            if b_qkv is not None:
-                qkvp = qkvp + (b_qkv.astype(compute) * qscale[0]).reshape(
-                    3 * h * dh
+            if cfg.qk_norm:
+                # qk-norm composes with the packed/banded kernels
+                # (VERDICT r4 item 3): the per-head LayerNorm is a row op
+                # on the packed [B,N,3HD] GEMM output — same pattern as
+                # the q-prescale fold.  The 1/sqrt(dh) fold moves AFTER
+                # the norm (LN is scale-invariant, so pre-folding it into
+                # the GEMM would be erased by the normalization); it
+                # rides the LN's own scale multiply, which XLA fuses.
+                wp = w_qkv.astype(compute).reshape(d, 3 * h * dh)
+                qkvp = x @ wp
+                if b_qkv is not None:
+                    qkvp = qkvp + b_qkv.astype(compute).reshape(3 * h * dh)
+                qkv4 = qkvp.reshape(qkvp.shape[:-1] + (3, h, dh))
+                qn = nn.LayerNorm(
+                    epsilon=cfg.layer_norm_eps, use_bias=False,
+                    dtype=compute, param_dtype=cfg.policy.param,
+                    name="q_norm",
+                )(qkv4[..., 0, :, :])
+                kn = nn.LayerNorm(
+                    epsilon=cfg.layer_norm_eps, use_bias=False,
+                    dtype=compute, param_dtype=cfg.policy.param,
+                    name="k_norm",
+                )(qkv4[..., 1, :, :])
+                qkvp = jnp.stack(
+                    [qn * scale, kn, qkv4[..., 2, :, :]], axis=-3
+                ).reshape(qkvp.shape)
+            else:
+                qscale = jnp.asarray([scale, 1.0, 1.0], compute).reshape(
+                    1, 3, 1, 1
                 )
+                wp = (w_qkv.astype(compute) * qscale).reshape(d, 3 * h * dh)
+                qkvp = x @ wp
+                if b_qkv is not None:
+                    qkvp = qkvp + (
+                        b_qkv.astype(compute) * qscale[0]
+                    ).reshape(3 * h * dh)
             if use_banded:
                 from msvit_tpu.ops.banded_attention import (
                     multistate_banded_attention,
