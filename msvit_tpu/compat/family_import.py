@@ -131,7 +131,25 @@ def transfer_base_to_subsample(
     src_emb = base_params["embeddings"]
     out = dict(params)
     prefix = dict(out["model"]) if "model" in out else dict(out)
-    prefix["encoder"] = base_params["encoder"]
+    # per-index layer copy (ADVICE r4): wholesale encoder copy would
+    # silently install extra unused layers from a deeper base trunk, or
+    # leave randomly-initialized layers from a shallower one
+    missing = [
+        i for i in range(num_layers)
+        if f"layer_{i}" not in base_params["encoder"]
+    ]
+    if missing:
+        raise ValueError(
+            f"base trunk has no layer(s) {missing}; need {num_layers} "
+            "layers for the subsample model"
+        )
+    prefix["encoder"] = {
+        **prefix["encoder"],
+        **{
+            f"layer_{i}": base_params["encoder"][f"layer_{i}"]
+            for i in range(num_layers)
+        },
+    }
     emb = dict(prefix["embeddings"])
     src_proj = src_emb["patch_projection"]
     dst_proj = emb["patch_projection"]

@@ -53,6 +53,17 @@ def quantize_layer_params(layer: Dict[str, Any]) -> Dict[str, Any]:
     proj/fc2 dequant scales, norms passthrough).  Shared by the ViT and
     multistate quantizers."""
     attn = layer["attention"]
+    if "q_norm" in attn or "k_norm" in attn:
+        # ADVICE r4 (medium): the hand-rolled int8 apply loops read a
+        # fixed norm1→qkv→attention layout and would silently SKIP the
+        # per-head q/k LayerNorms of a qk_norm-trained trunk, serving
+        # numerically different attention.  Refuse loudly until the
+        # quantized trunk loop implements the normalization.
+        raise ValueError(
+            "quantize_layer_params: source params carry q_norm/k_norm "
+            "(config.qk_norm trunk); the int8 apply paths do not "
+            "implement qk-norm — serve this trunk through the bf16 path"
+        )
     d = attn["qkv_kernel"].shape[0]
     return {
         "qkv": {

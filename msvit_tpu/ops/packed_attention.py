@@ -554,7 +554,7 @@ _GROUPED_BWD_VMEM_BYTES = 64 * 1024 * 1024
 def grouped_bwd_vmem_ok(
     n: int, d: int, num_heads: int, elem_bytes: int = 2,
     has_mask: bool = False, head_group: int = 2,
-    limit: int = _GROUPED_BWD_VMEM_BYTES * 3 // 4,
+    limit: int = _GROUPED_BWD_VMEM_BYTES * 2 // 3,
 ) -> bool:
     """VMEM fit for the head-grouped packed backward: the dp-scratch
     serialization keeps one head's panels live (s/dp f32 + pb/ds in the
@@ -564,8 +564,11 @@ def grouped_bwd_vmem_ok(
     scope (like the int8 grouped kernel; v5e has 128 MiB physical) —
     the default 16 MiB scope rejects even N=785 unmasked, where Mosaic's
     real stack allocation (17.93 MiB measured, r4) runs ~1.5× this
-    panel accounting (11.8 MiB est.).  The gate admits 3/4 of the scope
-    so that measured gap stays covered."""
+    panel accounting (11.8 MiB est.).  The gate admits 2/3 of the scope
+    (ADVICE r4: 2/3 × 1.5 = the full scope, so the measured gap is
+    covered; the earlier 3/4 only covered a 1.33× gap and shapes in the
+    (42.7, 48] MiB estimate band could pass the gate yet fail Mosaic
+    compile instead of dispatching to flash)."""
     if (head_group * (d // num_heads)) % 128:
         return False
     if num_heads % head_group:
@@ -1184,6 +1187,19 @@ def packed_attention(
       scale: defaults to 1/sqrt(head_dim).
 
     Returns: [B, N, D] attention output (pre-projection), same dtype as qkv.
+
+    Bounded-logit assumption (inference path only, ADVICE r4): the
+    no-grad kernel uses a shaved softmax that CLAMPS scaled logits to
+    ±80 instead of subtracting the row max.  For post-LN trunks (every
+    pretrained/fine-tuned checkpoint this framework imports or trains
+    with qk_norm) |logits| ≪ 80 and the result is exact; a checkpoint
+    whose logits exceed 80 (observed only in from-scratch runs WITHOUT
+    qk-norm, which this kernel's own training path handles exactly via
+    true-lse softmax) would have its >80 logits flattened toward uniform
+    attention rather than erroring.  Serve such checkpoints through the
+    xla/fused paths (`attn_implementation="fused"`), or train with
+    qk_norm.  The training path (under jax.grad, with_lse) is exact at
+    any logit scale.
     """
     b, n, d3 = qkv.shape
     if d3 % 3:
