@@ -236,6 +236,27 @@ def _queued(fn, iters: int, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+# Family baselines (VERDICT r4 item 5): the r4 driver-run values
+# (BENCH_r04.json), pinned so family lines emit real vs_baseline ratios
+# and a >10% regression is visible in one glance.  Ratios are oriented
+# so >1.0 is always BETTER (throughput: value/baseline; latency
+# metrics: baseline/value).
+_FAMILY_BASELINES = {
+    "multistate_int8_late256_serving_throughput": (328.8, "higher"),
+    "subsample_bs32_open_forward_throughput": (6056.8, "higher"),
+    "predictive_train_step_bs64_throughput": (1958.9, "higher"),
+    "saccadic_batched_16x10_run": (72.4, "lower"),
+}
+
+
+def _vs_family_baseline(metric: str, value: float):
+    base = _FAMILY_BASELINES.get(metric)
+    if base is None or not value:
+        return None
+    ref, sense = base
+    return round(value / ref if sense == "higher" else ref / value, 4)
+
+
 def _bench_multistate() -> dict:
     """Multistate serving: int8 trunk + reference-faithful late256
     clustering at the BASELINE bs8 config (benchmarks/RESULTS.md "int8
@@ -476,7 +497,11 @@ def _family_lines() -> None:
         _bench_saccadic,
     ):
         try:
-            print(json.dumps(fn()), flush=True)
+            line = fn()
+            line["vs_baseline"] = _vs_family_baseline(
+                line["metric"], line["value"]
+            )
+            print(json.dumps(line), flush=True)
         except Exception as e:  # pragma: no cover - chip-env dependent
             print(
                 json.dumps(
