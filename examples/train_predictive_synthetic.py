@@ -57,11 +57,10 @@ def main():
         help="'sandbox' = the reference's own weights (query_patch 1.0, "
         "context_patch 1e-4, pos_reg 0.5 — sandbox/predictive.py:48-96): "
         "the learning-evidence configuration.  'all7' activates every "
-        "loss at unit weight — it exercises all seven paths but the "
-        "unit-weighted LATENT losses are scale-unnormalized (they grow "
-        "with the embedding norm), so totals are not a learning metric "
-        "(measured r4: latent components drift up while query_patch "
-        "still improves)."
+        "loss at unit weight with normalize_latent=True (r5): the three "
+        "latent losses are divided by the embeddings' second moment, so "
+        "they no longer track the growing embedding norm (r4 artifact: "
+        "preservation 216->359 while query_patch improved)."
     )
     args = ap.parse_args()
 
@@ -72,6 +71,7 @@ def main():
         PredictiveViTTrainingConfig,
         training_loss,
     )
+    from msvit_tpu.models.predictive.losses import patch_mean_bar
     from msvit_tpu.utils.metrics import MetricsLogger
     from msvit_tpu.viz import visualize_predictive_sample
 
@@ -102,6 +102,7 @@ def main():
             query_patch_prediction=1.0,
             positional_recovery=1.0,
             positional_regularization=0.5,
+            normalize_latent=True,
         )
     else:  # the reference sandbox configuration
         tc = PredictiveViTTrainingConfig(
@@ -140,6 +141,23 @@ def main():
         updates, s = opt.update(grads, s, v)
         return optax.apply_updates(v, updates), s, loss, losses
 
+    @jax.jit
+    def mean_bar(v, pix, key):
+        """Predict-the-mean baselines (VERDICT r4 item 7): the loss a
+        constant batch-mean-patch predictor would score, same units as
+        the patch losses — defines the bar 'plateau' claims are judged
+        against."""
+        out = model.apply(v, pix, rngs={"glimpse": key}, output_inputs=True)
+        _, losses, meta = training_loss(model, v, pix, out, tc)
+        bars = patch_mean_bar(out, meta, cfg)
+        bars["query_patch_actual"] = jnp.mean(
+            losses.get("query_patch_prediction", jnp.zeros(()))
+        )
+        bars["context_patch_actual"] = jnp.mean(
+            losses.get("context_patch_prediction", jnp.zeros(()))
+        )
+        return bars
+
     def render(step_no):
         """visualize_predictive_sample figure at the current params."""
         key = jax.random.PRNGKey(777)
@@ -177,6 +195,24 @@ def main():
     dt = time.perf_counter() - t0
     metrics.close()
 
+    # the measured predict-the-mean bar, averaged over a few fresh
+    # batches at the final params (one jitted eval per batch)
+    bars = None
+    for j in range(4):
+        b = {k: np.asarray(v) for k, v in mean_bar(
+            variables, nxt(), jax.random.PRNGKey(10_000 + j)
+        ).items()}
+        bars = b if bars is None else {
+            k: bars[k] + b[k] for k in bars
+        }
+    bars = {k: float(v) / 4 for k, v in bars.items()}
+    print(
+        f"\npredict-the-mean bar: query_patch {bars['query_patch_actual']:.4f}"
+        f" vs bar {bars.get('query_patch_mean_bar', float('nan')):.4f}  |  "
+        f"context_patch {bars['context_patch_actual']:.4f} vs bar "
+        f"{bars.get('context_patch_mean_bar', float('nan')):.4f}"
+    )
+
     # learning evidence: first-window vs last-window mean per component
     k = max(1, min(4, len(history) // 4))
     first = {key: float(np.mean([h[key] for h in history[:k]]))
@@ -189,7 +225,8 @@ def main():
         print(f"{key:22s}  {first[key]:12.4f}  {last[key]:12.4f}  {r:8.3f}")
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump({"steps": args.steps, "batch": args.batch,
-                   "train_sec": dt, "first": first, "last": last}, f, indent=1)
+                   "train_sec": dt, "first": first, "last": last,
+                   "mean_bars": bars}, f, indent=1)
     print(f"\n{args.steps} steps in {dt:.0f}s "
           f"({args.steps * args.batch / dt:.0f} img/s incl. compile); "
           f"figures + metrics under {run_dir}")

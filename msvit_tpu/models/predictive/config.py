@@ -56,3 +56,11 @@ class PredictiveViTTrainingConfig:
     query_patch_prediction: float = 0.0
     positional_recovery: float = 0.0
     positional_regularization: float = 0.0
+    # Deviation knob (r5, VERDICT r4 item 7; no reference counterpart —
+    # the reference weights only patch losses, so its latent losses are
+    # reported raw): divide the three latent-space losses (preservation,
+    # context/query prediction) by the stop-gradient mean second moment
+    # of the input embeddings, making them scale-invariant — without
+    # this they track the growing embedding norm (r4 all7 run:
+    # preservation 216→359 while the model improved).
+    normalize_latent: bool = False

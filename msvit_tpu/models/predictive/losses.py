@@ -176,6 +176,45 @@ LOSS2FN: Dict[str, Callable] = {
     "positional_regularization": positional_regularization_loss,
 }
 
+# losses measured as squared distances between D-dim latents: their raw
+# value scales with the embedding second moment (see
+# PredictiveViTTrainingConfig.normalize_latent)
+_LATENT_LOSSES = ("preservation", "context_prediction", "query_prediction")
+
+
+def patch_mean_bar(output: Dict[str, Any], losses_meta: Dict[str, Any],
+                   config: PredictiveViTConfig) -> Dict[str, jnp.ndarray]:
+    """Predict-the-mean baselines for the patch losses (VERDICT r4
+    item 7): the loss a constant predictor emitting the batch-mean TRUE
+    patch would score, in the same units as context/query
+    patch_prediction (squared error / patch_size²).  A model whose
+    query_patch loss sits AT this bar has learned nothing beyond the
+    corpus's mean appearance; below it, it uses the context.
+
+    Needs the meta dict from `training_loss` with the patch losses
+    active (true_context_patch / true_query_patch recorded)."""
+    bars: Dict[str, jnp.ndarray] = {}
+    p2 = float(config.patch_size**2)
+    if "true_query_patch" in losses_meta:
+        tq = losses_meta["true_query_patch"].astype(jnp.float32)  # [B,P,P,C]
+        mean = jnp.mean(tq, axis=0, keepdims=True)
+        bars["query_patch_mean_bar"] = jnp.mean(
+            jnp.sum(jnp.square(tq - mean).reshape(tq.shape[0], -1), -1)
+        ) / p2
+    if "true_context_patch" in losses_meta:
+        tc = losses_meta["true_context_patch"].astype(jnp.float32)  # [B,N,P,P,C]
+        lengths = output["context_lengths"]
+        mask = (
+            jnp.arange(tc.shape[1])[None] < lengths[:, None]
+        ).astype(jnp.float32)
+        flat = tc.reshape(tc.shape[0] * tc.shape[1], -1)
+        w = mask.reshape(-1)[:, None]
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        mean = jnp.sum(flat * w, axis=0, keepdims=True) / denom
+        err = jnp.sum(jnp.square(flat - mean), -1) * w[:, 0]
+        bars["context_patch_mean_bar"] = jnp.sum(err) / denom / p2
+    return bars
+
 
 def training_loss(
     model: PredictiveViTModel,
@@ -190,9 +229,21 @@ def training_loss(
     losses: Dict[str, jnp.ndarray] = {}
     meta: Dict[str, jnp.ndarray] = {}
     error = jnp.zeros(pixel_values.shape[0], jnp.float32)
+    if train_config.normalize_latent:
+        # stop-gradient mean second moment of the input embeddings: the
+        # natural scale of latent-space squared distances.  Dividing by
+        # it makes the latent losses scale-invariant (the optimizer can
+        # no longer "improve" them by shrinking embeddings, nor do they
+        # read as regressing when embeddings legitimately grow).
+        inp = output["input_hidden_state"].astype(jnp.float32)
+        m2 = jax.lax.stop_gradient(
+            jnp.mean(jnp.sum(jnp.square(inp), -1)) + 1e-6
+        )
     for k, weight in dataclasses.asdict(train_config).items():
-        if weight != 0.0 and k in LOSS2FN:
+        if weight != 0.0 and k in LOSS2FN and isinstance(weight, float):
             e, m = LOSS2FN[k](model, variables, pixel_values, output)
+            if train_config.normalize_latent and k in _LATENT_LOSSES:
+                e = e / m2
             error = error + weight * e
             losses[k] = e
             meta.update({mk: jax.lax.stop_gradient(mv) for mk, mv in m.items()})

@@ -131,7 +131,9 @@ def test_all_losses_finite_and_grads_flow():
         variables
     )
     assert np.isfinite(float(loss))
-    assert set(losses) == set(dataclasses.asdict(tc))
+    from msvit_tpu.models.predictive.losses import LOSS2FN
+
+    assert set(losses) == set(LOSS2FN)
     for k, v in losses.items():
         assert bool(jnp.isfinite(v).all()), k
     assert "predicted_query_patch" in meta
@@ -147,6 +149,87 @@ def test_all_losses_finite_and_grads_flow():
         for k in path:
             g = g[k]
         assert float(jnp.abs(g).sum()) > 0.0, path
+
+
+def test_normalize_latent_is_scale_invariant():
+    """r5 (VERDICT r4 item 7): with normalize_latent the latent losses
+    are invariant to a global rescale of the embeddings, while the raw
+    ones scale quadratically."""
+    from msvit_tpu.models.predictive.losses import _LATENT_LOSSES
+
+    cfg = _cfg()
+    model = PredictiveViTModel(cfg)
+    pix = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "glimpse": jax.random.PRNGKey(2)},
+        pix,
+    )
+    out = model.apply(
+        v := variables, pix, rngs={"glimpse": jax.random.PRNGKey(3)},
+        output_inputs=True,
+    )
+
+    def scaled(out, s):
+        return {
+            **out,
+            "input_hidden_state": out["input_hidden_state"] * s,
+            "last_hidden_state": out["last_hidden_state"] * s,
+        }
+
+    tc_norm = PredictiveViTTrainingConfig(
+        preservation=1.0, normalize_latent=True
+    )
+    tc_raw = PredictiveViTTrainingConfig(preservation=1.0)
+    _, l1, _ = training_loss(model, v, pix, out, tc_norm)
+    _, l2, _ = training_loss(model, v, pix, scaled(out, 10.0), tc_norm)
+    _, r1, _ = training_loss(model, v, pix, out, tc_raw)
+    _, r2, _ = training_loss(model, v, pix, scaled(out, 10.0), tc_raw)
+    assert set(l1) == {"preservation"} and "preservation" in _LATENT_LOSSES
+    a, b = float(jnp.mean(l1["preservation"])), float(
+        jnp.mean(l2["preservation"])
+    )
+    assert abs(a - b) / (abs(a) + 1e-9) < 0.02, (a, b)
+    ra, rb = float(jnp.mean(r1["preservation"])), float(
+        jnp.mean(r2["preservation"])
+    )
+    assert rb > 50.0 * ra  # raw loss blows up ~100x under a 10x rescale
+
+
+def test_patch_mean_bar_semantics():
+    """The bar equals the batch variance of the true patches (per-pixel
+    mean predictor); a predictor emitting exactly the mean patch scores
+    the bar, and the bar is 0 for identical patches."""
+    from msvit_tpu.models.predictive.losses import patch_mean_bar
+
+    cfg = _cfg()
+    model = PredictiveViTModel(cfg)
+    pix = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "glimpse": jax.random.PRNGKey(2)},
+        pix,
+    )
+    out = model.apply(
+        variables, pix, rngs={"glimpse": jax.random.PRNGKey(3)},
+        output_inputs=True,
+    )
+    tc = PredictiveViTTrainingConfig(
+        context_patch_prediction=1.0, query_patch_prediction=1.0
+    )
+    _, _, meta = training_loss(model, variables, pix, out, tc)
+    bars = patch_mean_bar(out, meta, cfg)
+    assert set(bars) == {"query_patch_mean_bar", "context_patch_mean_bar"}
+    tq = np.asarray(meta["true_query_patch"], np.float32)
+    manual = np.mean(
+        np.sum(
+            (tq - tq.mean(0, keepdims=True)).reshape(tq.shape[0], -1) ** 2, -1
+        )
+    ) / cfg.patch_size**2
+    np.testing.assert_allclose(
+        float(bars["query_patch_mean_bar"]), manual, rtol=1e-5
+    )
+    # identical patches -> zero bar
+    same = {**meta, "true_query_patch": np.ones_like(tq)}
+    assert float(patch_mean_bar(out, same, cfg)["query_patch_mean_bar"]) < 1e-9
 
 
 def test_train_step_sandbox_config():
