@@ -79,11 +79,15 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
     ap.add_argument(
-        "--label-mode", default="largest", choices=["largest", "center"],
+        "--label-mode", default="largest", choices=["largest", "center", "texture"],
         help="'center' = glimpse-learnable target-object task (r5): the "
         "centered never-occluded object defines the label; 'largest' is "
         "the r3/r4 area-comparison task (recorded unlearnable at this "
         "scale)")
+    ap.add_argument(
+        "--max-objects", type=int, default=3,
+        help="objects per scene; 1 + --label-mode center = single-object "
+        "scenes (the easiest glimpse-learnable task)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--qk-norm", action="store_true",
                     help="ViT-22B-style per-head q/k LayerNorm — bounds "
@@ -105,7 +109,7 @@ def main():
 
     from msvit_tpu.data.augment import random_brightness_contrast, random_flip
     from msvit_tpu.data.synthetic import (
-        SHAPE_CLASSES,
+        label_classes,
         corpus_batches,
         ensure_corpus,
         generate_batch,
@@ -119,9 +123,12 @@ def main():
     geom = PRESETS[args.preset]
     size = geom["image_size"]
     data = ensure_corpus(args.out, args.corpus_size, size=size,
-                         seed=args.seed, label_mode=args.label_mode)
-    num_classes = len(SHAPE_CLASSES)
+                         seed=args.seed, label_mode=args.label_mode,
+                         max_objects=args.max_objects)
+    num_classes = len(label_classes(args.label_mode))
     mode_sfx = "" if args.label_mode == "largest" else f"_{args.label_mode}"
+    if args.max_objects != 3:
+        mode_sfx += f"_m{args.max_objects}"
     run_dir = os.path.join(args.out, f"pretrain_{args.preset}{mode_sfx}")
     os.makedirs(run_dir, exist_ok=True)
 
@@ -198,7 +205,7 @@ def main():
     # held-out eval: fresh generative seeds the corpus never used
     hold = generate_batch(
         range(10_000_000, 10_000_000 + args.eval_size), size=size,
-        label_mode=args.label_mode,
+        label_mode=args.label_mode, max_objects=args.max_objects,
     )
     eval_pix = hold["images"].astype(np.float32) / 127.5 - 1.0
     eval_lab = hold["labels"]

@@ -81,13 +81,14 @@ def main():
                     help="trunk was pretrained with config.qk_norm "
                     "(the layer param trees must match for the transfer)")
     ap.add_argument(
-        "--label-mode", default="largest", choices=["largest", "center"],
+        "--label-mode", default="largest", choices=["largest", "center", "texture"],
         help="match the trunk's pretrain corpus; 'center' (r5) scores "
         "clusters on the generalizing (non-memorizing) trunk")
+    ap.add_argument("--max-objects", type=int, default=3)
     args = ap.parse_args()
 
     from msvit_tpu.compat.family_import import transfer_base_to_multistate
-    from msvit_tpu.data.synthetic import SHAPE_CLASSES, generate_batch
+    from msvit_tpu.data.synthetic import generate_batch, label_classes
     from msvit_tpu.models.base import BaseViTConfig
     from msvit_tpu.models.base.vit import ViTForImageClassification
     from msvit_tpu.models.clustering import SpectralClusteringConfig
@@ -98,6 +99,8 @@ def main():
     from msvit_tpu.train import restore_checkpoint
 
     mode_sfx = "" if args.label_mode == "largest" else f"_{args.label_mode}"
+    if args.max_objects != 3:
+        mode_sfx += f"_m{args.max_objects}"
     run_dir = os.path.join(args.out, f"multistate{mode_sfx}")
     os.makedirs(run_dir, exist_ok=True)
 
@@ -124,7 +127,7 @@ def main():
 
     # --- restore the synthetically-pretrained base trunk ---
     base_model = ViTForImageClassification(
-        BaseViTConfig(**geom), num_labels=len(SHAPE_CLASSES)
+        BaseViTConfig(**geom), num_labels=len(label_classes(args.label_mode))
     )
     rng = jax.random.PRNGKey(args.seed)
     base_params = jax.jit(base_model.init)(
@@ -164,7 +167,7 @@ def main():
 
     hold = generate_batch(
         range(30_000_000, 30_000_000 + args.eval_size), size=size,
-        label_mode=args.label_mode,
+        label_mode=args.label_mode, max_objects=args.max_objects,
     )
     pix = hold["images"].astype(np.float32) / 127.5 - 1.0
     region_patches = patch_region_labels(hold["regions"], patch)

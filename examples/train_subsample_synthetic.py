@@ -83,10 +83,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
     ap.add_argument(
-        "--label-mode", default="largest", choices=["largest", "center"],
+        "--label-mode", default="largest", choices=["largest", "center", "texture"],
         help="'center' (r5) makes the CE reward meaningful: the label is "
         "the centered target object's class, so subdividing the boxes "
         "that contain it actually changes the reward")
+    ap.add_argument("--max-objects", type=int, default=3)
     ap.add_argument(
         "--trunk", default="none", choices=["none", "s8d6"],
         help="'s8d6' bootstraps the trunk from the pretrain_synthetic "
@@ -98,7 +99,7 @@ def main():
     args = ap.parse_args()
 
     from msvit_tpu.data.synthetic import (
-        SHAPE_CLASSES,
+        label_classes,
         corpus_batches,
         ensure_corpus,
         generate_batch,
@@ -112,10 +113,13 @@ def main():
     from msvit_tpu.utils.metrics import MetricsLogger
 
     mode_sfx = "" if args.label_mode == "largest" else f"_{args.label_mode}"
+    if args.max_objects != 3:
+        mode_sfx += f"_m{args.max_objects}"
     run_dir = os.path.join(args.out, f"subsample{mode_sfx}")
     os.makedirs(run_dir, exist_ok=True)
     data = ensure_corpus(args.out, args.corpus_size, size=224,
-                         seed=args.seed, label_mode=args.label_mode)
+                         seed=args.seed, label_mode=args.label_mode,
+                         max_objects=args.max_objects)
 
     # sandbox geometry: 6 layers, grid 4 -> x2, depth 1.  The patch size
     # follows the trunk (the reference used its pretrained trunk's 14):
@@ -130,7 +134,7 @@ def main():
         multiplicative_grid_size=2,
         nesting_mode="open",
         max_depth=1,
-        num_labels=len(SHAPE_CLASSES),
+        num_labels=len(label_classes(args.label_mode)),
         **trunk_kw,
     )
     model = SubsampleViTForImageClassification(cfg)
@@ -157,7 +161,7 @@ def main():
         bgeom = dict(hidden_size=384, num_hidden_layers=6,
                      num_attention_heads=6, patch_size=8, image_size=224)
         bmodel = ViTForImageClassification(BaseViTConfig(**bgeom),
-                                           num_labels=len(SHAPE_CLASSES))
+                                           num_labels=len(label_classes(args.label_mode)))
         bparams = jax.jit(bmodel.init)(
             {"params": rng}, jnp.zeros((1, 224, 224, 3))
         )["params"]
@@ -228,7 +232,7 @@ def main():
     def align(decisions, regions):
         """precision/recall of subdivision vs object-relevant boxes."""
         frac = box_object_fraction(
-            regions, grid, target_only=args.label_mode == "center"
+            regions, grid, target_only=args.label_mode in ("center", "texture")
         )
         relevant = frac >= args.obj_thresh
         dec = np.asarray(decisions, bool)
@@ -276,7 +280,7 @@ def main():
 
     hold = generate_batch(
         range(20_000_000, 20_000_000 + args.eval_size), size=224,
-        label_mode=args.label_mode,
+        label_mode=args.label_mode, max_objects=args.max_objects,
     )
     eval_pix = hold["images"].astype(np.float32) / 127.5 - 1.0
     eval_lab = hold["labels"]
@@ -303,7 +307,7 @@ def main():
     acc_never, tok_never = accuracy(forced(variables, -20.0))
     acc_always, tok_always = accuracy(forced(variables, +20.0))
     print(f"\nheld-out top-1 (n={args.eval_size}, chance "
-          f"{1.0/len(SHAPE_CLASSES):.3f}):")
+          f"{1.0/len(label_classes(args.label_mode)):.3f}):")
     print(f"  learned policy : {acc_learned:.4f}  ({tok_learned:.1f} tokens/img)")
     print(f"  never subdivide: {acc_never:.4f}  ({tok_never:.1f} tokens/img)")
     print(f"  always subdivide:{acc_always:.4f}  ({tok_always:.1f} tokens/img)")

@@ -38,6 +38,18 @@ coarse subsample-root resolution (56px box → 16px patch) but resolve
 after one ×2 subdivision — giving the REINFORCE policy a reward signal
 that actually depends on where it subdivides.
 
+``texture`` (r5): same centered-target geometry as ``center``, but the
+label is the target's TEXTURE kind (4-way: flat/grating/noise/checker).
+Measured motivation (runs/probe_overfit, r5): the shape-class label is
+*locally undecodable* — an 8px patch sees interior texture, and shape
+requires integrating boundary geometry globally; an s8d6 trunk
+memorizes 512 center-mode scenes to train loss 0.003 while held-out
+stays at chance, and at corpus-8192 the loss never leaves chance.
+Texture IS decodable from any interior patch (and from a 56px glimpse),
+so this is the label mode where offline learning actually closes;
+high-frequency textures also alias away at coarse subsample-root
+resolution, preserving the subdivision incentive.
+
 Everything is deterministic in the seed, pure numpy, vectorized over the
 pixel grid.  `write_corpus` JPEG-encodes images to disk so the full
 input pipeline — `native/decode.cpp` fused decode+resize via
@@ -60,6 +72,11 @@ SHAPE_CLASSES: Tuple[str, ...] = (
     "cross",
 )
 TEXTURES: Tuple[str, ...] = ("flat", "grating", "noise", "checker")
+
+
+def label_classes(label_mode: str) -> Tuple[str, ...]:
+    """The class vocabulary of a label mode (labels index into this)."""
+    return TEXTURES if label_mode == "texture" else SHAPE_CLASSES
 
 
 # ---------------------------------------------------------------------------
@@ -170,12 +187,12 @@ def generate_scene(
     (existing corpora and their recorded metrics reproduce).  ``center``
     draws one extra *target* object last — centered, unoccluded, scale
     in (0.10, 0.35) — and labels the scene with its class."""
-    if label_mode not in ("largest", "center"):
+    if label_mode not in ("largest", "center", "texture"):
         raise ValueError(f"unknown label_mode {label_mode!r}")
     rng = np.random.default_rng(seed)
     img = _texture(rng, size, TEXTURES[rng.integers(len(TEXTURES))])
     regions = np.zeros((size, size), np.uint8)
-    if label_mode == "center":
+    if label_mode in ("center", "texture"):
         # distractors (possibly zero) + one final target
         n_obj = int(rng.integers(min_objects, max_objects + 1))
         n_distract = n_obj - 1
@@ -207,7 +224,7 @@ def generate_scene(
             aspect=float(rng.uniform(0.8, 1.25)),
             texture=TEXTURES[int(rng.integers(len(TEXTURES)))],
         ))
-    if label_mode == "center":
+    if label_mode in ("center", "texture"):
         # target: centered, on top of the z-order, small-to-mid scale
         _draw(n_distract + 1, dict(
             shape=SHAPE_CLASSES[int(rng.integers(len(SHAPE_CLASSES)))],
@@ -219,7 +236,11 @@ def generate_scene(
             texture=TEXTURES[int(rng.integers(len(TEXTURES)))],
             target=True,
         ))
-        label = classes[-1]
+        label = (
+            TEXTURES.index(params[-1]["texture"])
+            if label_mode == "texture"
+            else classes[-1]
+        )
     else:
         # visible areas (later objects may occlude earlier ones)
         visible = [int((regions == i).sum()) for i in range(1, n_obj + 1)]
@@ -292,8 +313,8 @@ def write_corpus(
         "size": size,
         "seed": seed,
         "max_objects": max_objects,
-        "num_classes": len(SHAPE_CLASSES),
-        "classes": list(SHAPE_CLASSES),
+        "num_classes": len(label_classes(label_mode)),
+        "classes": list(label_classes(label_mode)),
         "quality": quality,
         "label_mode": label_mode,
     }
@@ -353,6 +374,8 @@ def ensure_corpus(
     import time
 
     suffix = "" if label_mode == "largest" else f"_{label_mode}"
+    if max_objects != 3:
+        suffix += f"_m{max_objects}"
     d = os.path.join(out_dir, f"corpus{size}{suffix}")
     manifest = os.path.join(d, "manifest.json")
     have = 0

@@ -52,6 +52,23 @@ def test_center_mode_target_is_centered_and_labels_it():
     np.testing.assert_array_equal(a["image"], b["image"])
 
 
+def test_texture_mode_label_is_targets_texture():
+    from msvit_tpu.data.synthetic import TEXTURES, label_classes
+
+    assert label_classes("texture") == TEXTURES
+    assert label_classes("center") == SHAPE_CLASSES
+    for seed in range(8):
+        s = generate_scene(seed, size=64, label_mode="texture")
+        tgt = s["params"][-1]
+        assert tgt.get("target") is True
+        assert s["label"] == TEXTURES.index(tgt["texture"])
+    # geometry identical to center mode at the same seed (same RNG draws)
+    a = generate_scene(5, size=64, label_mode="center")
+    b = generate_scene(5, size=64, label_mode="texture")
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["regions"], b["regions"])
+
+
 def test_center_mode_roundtrip(tmp_path):
     d = str(tmp_path / "ccorpus")
     write_corpus(d, 4, seed=5, size=64, label_mode="center")
