@@ -310,8 +310,12 @@ def quantized_multistate_apply(
                 nt = qkv.shape[1]
                 dh = d // h
                 t = qkv.reshape(b, nt, 3, h, dh).transpose(2, 0, 3, 1, 4)
+                # inference=True: the shaved-softmax + transposed-PV
+                # fused kernel (r5) — this apply fn is serving-only by
+                # construction (int8 GEMMs have no grad path)
                 out4, _ = multi_head_attention(
-                    t[0], t[1], t[2], mask=additive, implementation="auto"
+                    t[0], t[1], t[2], mask=additive, implementation="auto",
+                    inference=True,
                 )
                 out = jnp.swapaxes(out4, 1, 2).reshape(b, nt, d).astype(
                     qkv.dtype

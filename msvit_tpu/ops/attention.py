@@ -144,8 +144,14 @@ def multi_head_attention(
     implementation: str = "auto",
     output_probs: bool = False,
     mask_value: float = DEFAULT_MASK_VALUE,
+    inference: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Dispatching attention front end used by all encoder families."""
+    """Dispatching attention front end used by all encoder families.
+
+    ``inference=True`` (serving paths only — NOT differentiable) lets
+    the fused branch use the shaved-softmax + transposed-PV kernel
+    (`fused_attention_inference`), ~2.6× the exact fused kernel at the
+    dh=64 masked multistate shape."""
     if implementation == "auto":
         # Measured on v5e (tests/test_fused_attention.py + benchmarks):
         # below ~512 kv tokens the custom-call boundary costs more than
@@ -174,9 +180,13 @@ def multi_head_attention(
         and not output_probs
         and _kernel_shapes_ok(q, k, mask, allow_float_mask=True)
     ):
-        from msvit_tpu.ops.fused_attention import fused_attention
+        from msvit_tpu.ops.fused_attention import (
+            fused_attention,
+            fused_attention_inference,
+        )
 
-        out = fused_attention(q, k, v, mask=mask, scale=scale, mask_value=mask_value)
+        fn = fused_attention_inference if inference else fused_attention
+        out = fn(q, k, v, mask=mask, scale=scale, mask_value=mask_value)
         return out, None
     if (
         implementation == "flash"
