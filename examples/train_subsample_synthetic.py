@@ -96,6 +96,25 @@ def main():
         "classifier head only and phase B the policy only.",
     )
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument(
+        "--token-cost", type=float, default=0.0,
+        help="λ: REINFORCE cost per-sample = CE + λ·(tokens/capacity). "
+        "0 = the reference's pure-CE reward (sandbox/subsample_vit.py:"
+        "83,112-113), under which always-subdivide is optimal by "
+        "construction and the learned policy can only tie it.  λ>0 is "
+        "the offline selectivity probe (r5, flagged deviation): the "
+        "policy must now keep only subdivisions that pay for their "
+        "tokens, so subdivision precision vs the target's boxes becomes "
+        "measurable.")
+    ap.add_argument(
+        "--warm-full", action="store_true",
+        help="phase A fine-tunes the WHOLE trunk (not head-only) under "
+        "the sampled policy.  Needed offline (r5): the box glimpses are "
+        "56px->patch resamples, a resolution shift the full-grid "
+        "pretrain never saw — head-only warmup leaves CE at chance, so "
+        "REINFORCE gets no reward gradient.  The reference sidesteps "
+        "this with a hub classifier trained at matching resolution "
+        "(sandbox/subsample_vit.py:52-66).")
     args = ap.parse_args()
 
     from msvit_tpu.data.synthetic import (
@@ -178,7 +197,8 @@ def main():
 
     # ---- phase A: supervised warmup of trunk+head (policy params frozen,
     # decisions still sampled from the untrained=near-random policy) ----
-    if args.trunk == "s8d6":  # trunk is pretrained: head-only warmup
+    if args.trunk == "s8d6" and not args.warm_full:
+        # trunk is pretrained: head-only warmup
         warm_trainable = lambda path: "classifier" in path  # noqa: E731
     else:
         warm_trainable = lambda path: "projection" not in path  # noqa: E731
@@ -220,7 +240,13 @@ def main():
         def loss_fn(v):
             out = model.apply(v, pix, labels, rngs={"policy": key},
                               output_logs=True)
-            return reinforce_loss(out["loss"], out["log_prob"]), out
+            cost = out["loss"]
+            if args.token_cost > 0.0:
+                tok_frac = out["last_valid_mask"].sum(-1) / float(
+                    cfg.capacity
+                )
+                cost = cost + args.token_cost * tok_frac
+            return reinforce_loss(cost, out["log_prob"]), out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
         updates, s = pol_opt.update(grads, s, v)
