@@ -79,7 +79,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
     ap.add_argument(
-        "--label-mode", default="largest", choices=["largest", "center", "texture"],
+        "--label-mode", default="largest", choices=["largest", "center", "texture", "ltexture"],
         help="'center' = glimpse-learnable target-object task (r5): the "
         "centered never-occluded object defines the label; 'largest' is "
         "the r3/r4 area-comparison task (recorded unlearnable at this "

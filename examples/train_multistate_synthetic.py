@@ -81,7 +81,7 @@ def main():
                     help="trunk was pretrained with config.qk_norm "
                     "(the layer param trees must match for the transfer)")
     ap.add_argument(
-        "--label-mode", default="largest", choices=["largest", "center", "texture"],
+        "--label-mode", default="largest", choices=["largest", "center", "texture", "ltexture"],
         help="match the trunk's pretrain corpus; 'center' (r5) scores "
         "clusters on the generalizing (non-memorizing) trunk")
     ap.add_argument("--max-objects", type=int, default=3)

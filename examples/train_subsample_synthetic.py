@@ -83,7 +83,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs/synthetic")
     ap.add_argument(
-        "--label-mode", default="largest", choices=["largest", "center", "texture"],
+        "--label-mode", default="largest", choices=["largest", "center", "texture", "ltexture"],
         help="'center' (r5) makes the CE reward meaningful: the label is "
         "the centered target object's class, so subdividing the boxes "
         "that contain it actually changes the reward")

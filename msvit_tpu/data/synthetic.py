@@ -38,6 +38,14 @@ coarse subsample-root resolution (56px box → 16px patch) but resolve
 after one ×2 subdivision — giving the REINFORCE policy a reward signal
 that actually depends on where it subdivides.
 
+``ltexture`` (r5): the ``largest`` scene geometry (bit-identical RNG
+stream and images), labeled with the TEXTURE kind of the largest
+visible object.  Decodable as a bag-of-patches statistic (majority
+object texture) yet requiring figure-ground over EVERY region — the
+trunk task that feeds multistate cluster-vs-region evaluation (the
+``texture`` trunk only needs the center object and learns no off-center
+region structure: ARI +0.03 vs the task-matched trunks, r5 measured).
+
 ``texture`` (r5): same centered-target geometry as ``center``, but the
 label is the target's TEXTURE kind (4-way: flat/grating/noise/checker).
 Measured motivation (runs/probe_overfit, r5): the shape-class label is
@@ -76,7 +84,11 @@ TEXTURES: Tuple[str, ...] = ("flat", "grating", "noise", "checker")
 
 def label_classes(label_mode: str) -> Tuple[str, ...]:
     """The class vocabulary of a label mode (labels index into this)."""
-    return TEXTURES if label_mode == "texture" else SHAPE_CLASSES
+    return (
+        TEXTURES
+        if label_mode in ("texture", "ltexture")
+        else SHAPE_CLASSES
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +199,7 @@ def generate_scene(
     (existing corpora and their recorded metrics reproduce).  ``center``
     draws one extra *target* object last — centered, unoccluded, scale
     in (0.10, 0.35) — and labels the scene with its class."""
-    if label_mode not in ("largest", "center", "texture"):
+    if label_mode not in ("largest", "center", "texture", "ltexture"):
         raise ValueError(f"unknown label_mode {label_mode!r}")
     rng = np.random.default_rng(seed)
     img = _texture(rng, size, TEXTURES[rng.integers(len(TEXTURES))])
@@ -244,7 +256,12 @@ def generate_scene(
     else:
         # visible areas (later objects may occlude earlier ones)
         visible = [int((regions == i).sum()) for i in range(1, n_obj + 1)]
-        label = classes[int(np.argmax(visible))]
+        big = int(np.argmax(visible))
+        label = (
+            TEXTURES.index(params[big]["texture"])
+            if label_mode == "ltexture"
+            else classes[big]
+        )
     image_u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
     return {
         "image": image_u8,
