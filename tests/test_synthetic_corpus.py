@@ -69,6 +69,24 @@ def test_texture_mode_label_is_targets_texture():
     np.testing.assert_array_equal(a["regions"], b["regions"])
 
 
+def test_ltexture_mode_same_images_as_largest():
+    from msvit_tpu.data.synthetic import TEXTURES
+
+    for seed in (3, 42, 99):
+        a = generate_scene(seed, size=64, label_mode="largest")
+        b = generate_scene(seed, size=64, label_mode="ltexture")
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["regions"], b["regions"])
+        vis = [
+            int((b["regions"] == i).sum())
+            for i in range(1, len(b["params"]) + 1)
+        ]
+        big = int(np.argmax(vis))
+        assert b["label"] == TEXTURES.index(b["params"][big]["texture"])
+        # and the shape-class label of 'largest' refers to the same object
+        assert a["label"] == SHAPE_CLASSES.index(b["params"][big]["shape"])
+
+
 def test_center_mode_roundtrip(tmp_path):
     d = str(tmp_path / "ccorpus")
     write_corpus(d, 4, seed=5, size=64, label_mode="center")
