@@ -202,7 +202,8 @@ def main():
     p = variables["params"]["patch_embeddings"]
     size = cfg.patch_size
     for k in sorted(p):
-        if k.startswith("enc") and "kernel" in p[k]:
+        if (k.startswith("enc") and "kernel" in p[k]
+                and p[k]["kernel"].ndim == 4):
             kh, kw, cin, cout = p[k]["kernel"].shape
             size = size // 2
             enc_flops += 2 * BS * n_tok * size * size * kh * kw * cin * cout
